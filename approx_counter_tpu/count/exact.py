@@ -1,0 +1,141 @@
+"""Exact k-mer counting + candidate selection, TPU-style.
+
+Replaces the reference's sliding-window hash-map count and std::sort
+selection (``count_kmers`` approx_counter.cpp:487-519, ``get_most_frequent``
+:396-405, ``get_solid_kmers`` :372-388) with a dense, static-shape array
+program:
+
+  1. pack every window position's k-mer into a (hi, lo) uint32 code pair in
+     one vectorized sweep, tracking N/pad validity as a mask;
+  2. ``lax.sort`` the codes (validity as primary key) and run-length encode
+     to get unique codes + counts -- no hash map;
+  3. mask low-complexity (DUST) and forbidden codes on the *unique* entries
+     (equivalent to the reference's per-position filtering because the
+     filters depend only on the code);
+  4. rank with the CompareCount composite key (count desc, complexity asc,
+     code desc) in a second ``lax.sort`` and keep the top ``cap`` entries.
+
+Selection modes:
+  * ``solid_km == 0``: top-``limit`` by CompareCount (ref :396-405).
+  * ``solid_km > 0``: all k-mers with count >= solid_km (ref :372-388).  The
+    reference's sort there has *no tie-break* (unspecified order among equal
+    counts); we emit CompareCount order -- a deterministic refinement,
+    documented in SURVEY.md §5 quirk 5.
+
+Everything is order-independent, so sharding windows across devices and
+psum-merging counts (dist/) cannot change results.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from approx_counter_tpu.core.complexity import dimer_sum
+from approx_counter_tpu.core.ordering import compare_count_keys
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "cap", "n_forbidden", "use_solid")
+)
+def exact_count_select(
+    windows,          # uint8 [n, m] -- BASE_PAD rows beyond n_valid
+    n_valid,          # int32 scalar: number of real windows
+    k: int,
+    lc_sum_thr,       # int32 scalar: integer dimer-sum threshold
+    #                   (host-precomputed via complexity.lc_sum_threshold;
+    #                   bit-equivalent to the reference's f32 compare)
+    forbidden_hi,     # uint32 [F] (F may be 0)
+    forbidden_lo,     # uint32 [F]
+    limit,            # int32 scalar: top-N limit (top mode)
+    solid_km,         # int32 scalar: solid threshold (solid mode)
+    cap: int,         # static output size (>= number of entries we keep)
+    n_forbidden: int, # static F (for tracing; == len(forbidden_hi))
+    use_solid: bool,
+):
+    n, m = windows.shape
+    p = m - k + 1  # sliding positions per window (ref :496)
+
+    # --- 1. vectorized packing sweep --------------------------------------
+    hi = jnp.zeros((n, p), jnp.uint32)
+    lo = jnp.zeros((n, p), jnp.uint32)
+    bad = jnp.zeros((n, p), jnp.bool_)
+    for j in range(k):
+        sym = jax.lax.slice_in_dim(windows, j, j + p, axis=1)
+        bad = bad | (sym >= 4)
+        sym32 = sym.astype(jnp.uint32)
+        hi = (hi << np.uint32(2)) | (lo >> np.uint32(30))
+        lo = (lo << np.uint32(2)) | sym32
+    row_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, p), 0) < n_valid
+    )
+    valid = (~bad) & row_valid
+    # N-containing k-mers in real windows (ref had_n tally :513-517).
+    had_n = jnp.sum((bad & row_valid).astype(jnp.int32))
+
+    P = n * p
+    hi = hi.reshape(P)
+    lo = lo.reshape(P)
+    valid = valid.reshape(P)
+
+    # --- 2. sort by (invalid-last, code) + run-length encode --------------
+    invalid_key = (~valid).astype(jnp.uint32)
+    s_inv, s_hi, s_lo = jax.lax.sort([invalid_key, hi, lo], num_keys=3)
+    s_valid = s_inv == 0
+    n_total_valid = jnp.sum(s_valid.astype(jnp.int32))
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (P,), 0)
+    prev_hi = jnp.roll(s_hi, 1)
+    prev_lo = jnp.roll(s_lo, 1)
+    is_start = s_valid & ((idx == 0) | (s_hi != prev_hi) | (s_lo != prev_lo))
+
+    start_idx = jnp.where(is_start, idx, jnp.int32(P))
+    # next run start at or after i+1:
+    next_start = jax.lax.cummin(start_idx, axis=0, reverse=True)
+    next_start = jnp.concatenate([next_start[1:], jnp.full((1,), P, jnp.int32)])
+    run_count = jnp.minimum(next_start, n_total_valid) - idx  # valid at starts
+    n_unique = jnp.sum(is_start.astype(jnp.int32))
+
+    # --- 3. filters on unique entries -------------------------------------
+    keep = is_start
+    # haveLowComplexity: score >= threshold -> reject; integer-sum compare
+    # is bit-equivalent (incl. the k==2 NaN never-rejects quirk, for which
+    # lc_sum_thr arrives as an unreachable s_max+1).
+    keep = keep & ~(dimer_sum(s_hi, s_lo, k) >= lc_sum_thr)
+    if n_forbidden > 0:
+        fhit = jnp.zeros_like(keep)
+        for f in range(n_forbidden):
+            fhit = fhit | ((s_hi == forbidden_hi[f]) & (s_lo == forbidden_lo[f]))
+        keep = keep & ~fhit
+
+    count = jnp.where(keep, run_count, 0).astype(jnp.uint32)
+    if use_solid:
+        keep = keep & (count >= solid_km.astype(jnp.uint32))
+        count = jnp.where(keep, count, 0)
+    n_pass = jnp.sum(keep.astype(jnp.int32))
+
+    # --- 4. CompareCount ranking ------------------------------------------
+    k1, k2, k3, k4 = compare_count_keys(s_hi, s_lo, count, k, valid=keep)
+    o1, o2, o3, o4, o_count = jax.lax.sort(
+        [k1, k2, k3, k4, count], num_keys=4
+    )
+    sel_hi = (~o3).astype(jnp.uint32)[:cap]
+    sel_lo = (~o4).astype(jnp.uint32)[:cap]
+    sel_count = o_count[:cap]
+    rank = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    n_keep = n_pass if use_solid else jnp.minimum(n_pass, limit)
+    sel_valid = (rank < n_keep) & (sel_count > 0)
+
+    return dict(
+        sel_hi=sel_hi,
+        sel_lo=sel_lo,
+        sel_count=sel_count,
+        sel_valid=sel_valid,
+        n_unique=n_unique,
+        n_pass=n_pass,
+        n_keep=n_keep,
+        had_n=had_n,
+    )

@@ -1,0 +1,117 @@
+"""FASTA/FASTQ reading into dense 2-bit-friendly buffers.
+
+The reference reads the whole file into RAM via SeqAn's ``SeqFileIn`` /
+``readRecords`` with auto-detected format (approx_counter.cpp:824-825).  Here
+reads land in a single contiguous ``uint8`` ordinal buffer plus an offsets
+vector -- the shape the sampler and the device pipeline want, and the shared
+layout of the native C++ fast-path parser (``native/fastx_parser.cpp``, loaded
+via ctypes when built; transparent pure-Python fallback otherwise).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from approx_counter_tpu.core.codec import _CHAR_TO_CODE
+
+
+@dataclasses.dataclass
+class Reads:
+    """n reads as one contiguous ordinal buffer (A=0..T=3, N=4).
+
+    ``buf[offsets[i]:offsets[i+1]]`` is read i.
+    """
+
+    buf: np.ndarray       # uint8 [total_bases]
+    offsets: np.ndarray   # int64 [n+1]
+
+    def __len__(self) -> int:
+        return len(self.offsets) - 1
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    def read(self, i: int) -> np.ndarray:
+        return self.buf[self.offsets[i] : self.offsets[i + 1]]
+
+
+def _detect_format(first_byte: int) -> str:
+    if first_byte == ord(">"):
+        return "fasta"
+    if first_byte == ord("@"):
+        return "fastq"
+    raise ValueError("Unrecognized sequence file format (expected FASTA or FASTQ)")
+
+
+def read_fastx_py(path: str) -> Reads:
+    """Pure-Python FASTA/FASTQ parser (format auto-detected, like SeqAn)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if not data:
+        return Reads(np.empty(0, np.uint8), np.zeros(1, np.int64))
+    fmt = _detect_format(data[0])
+    chunks: list[bytes] = []
+    lengths: list[int] = []
+    if fmt == "fasta":
+        # Records separated by '>' header lines; sequence may span lines.
+        pos = 0
+        n = len(data)
+        while pos < n:
+            if data[pos] != ord(">"):
+                raise ValueError("Malformed FASTA: expected '>' header")
+            hdr_end = data.find(b"\n", pos)
+            if hdr_end == -1:
+                chunks.append(b"")
+                lengths.append(0)
+                break
+            nxt = data.find(b">", hdr_end)
+            seq_block = data[hdr_end + 1 : nxt if nxt != -1 else n]
+            seq = seq_block.replace(b"\n", b"").replace(b"\r", b"")
+            chunks.append(seq)
+            lengths.append(len(seq))
+            pos = nxt if nxt != -1 else n
+    else:
+        lines = data.split(b"\n")
+        i = 0
+        nl = len(lines)
+        while i < nl:
+            if not lines[i]:
+                i += 1
+                continue
+            if lines[i][0] != ord("@"):
+                raise ValueError("Malformed FASTQ: expected '@' header")
+            if i + 1 >= nl:
+                raise ValueError("Malformed FASTQ: truncated record")
+            seq = lines[i + 1].rstrip(b"\r")
+            # Multi-line FASTQ is rare; support the common 4-line layout.
+            if i + 2 >= nl or not lines[i + 2].startswith(b"+"):
+                raise ValueError("Malformed FASTQ: expected '+' separator")
+            chunks.append(seq)
+            lengths.append(len(seq))
+            i += 4
+    total = sum(lengths)
+    buf = np.empty(total, dtype=np.uint8)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    p = 0
+    for j, c in enumerate(chunks):
+        raw = np.frombuffer(c, dtype=np.uint8)
+        buf[p : p + len(raw)] = _CHAR_TO_CODE[raw]
+        p += len(raw)
+        offsets[j + 1] = p
+    return Reads(buf=buf, offsets=offsets)
+
+
+def read_fastx(path: str) -> Reads:
+    """Read a FASTA/FASTQ file; native C++ parser if built, Python otherwise."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    try:
+        from approx_counter_tpu.io.native import read_fastx_native
+
+        return read_fastx_native(path)
+    except (ImportError, OSError):
+        return read_fastx_py(path)

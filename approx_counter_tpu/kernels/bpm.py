@@ -1,0 +1,236 @@
+"""Myers bit-parallel approximate-match kernel (the hot engine).
+
+Replaces the reference's bidirectional FM-index + SeqAn search-scheme
+``find<0,2>(..., EditDistance())`` enumeration
+(/root/reference/approx_counter.cpp:531-601) with a dense, TPU-idiomatic
+formulation: for every (candidate k-mer x sampled window) pair, compute the
+minimum semi-global edit distance d_min of the candidate against any
+substring of the window (Myers 1999 bit-parallel DP -- one uint32 word per
+pair since k <= 32), then accumulate the per-window contribution
+
+    contribution = max(0, (MAXERR+1) - d_min)
+
+which reproduces the reference's per-error-level bit-field counting: a read
+contributes one count per error level e in {0..MAXERR} at which an alignment
+exists, and an alignment with exactly e ops exists iff e >= d_min (validated
+against the exact-stratum DP in oracle.py; SURVEY.md §3C).
+
+Layout (chosen for the VPU, 8x128 lanes):
+  * state arrays are (Ct, Wt) uint32 -- candidates on sublanes, windows on
+    lanes;
+  * windows arrive transposed as [m, W] so each DP step reads one *row*
+    (all windows' j-th base) -- a cheap sublane-indexed dynamic slice;
+  * Peq masks live as [C, 4] uint32, one (Ct, 1) column per base, selected
+    per step by comparing the broadcast window base row;
+  * grid = (candidate tiles, window tiles), window-innermost so each output
+    block (Ct, 1) stays resident in VMEM and accumulates across window
+    tiles.
+
+N/pad handling: window symbols >= 4 match no candidate base (Eq bit 0), so
+N behaves exactly like SeqAn's Dna5 'N' vs an ACGT needle (unit mismatch
+cost) and trailing padding can never lower d_min (monotonicity argument in
+SURVEY.md §3C / tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAXERR = 2  # approx_counter.cpp:25 -- fixed at compile time in the reference
+
+
+def build_peq(hi, lo, k: int):
+    """Per-candidate Myers Peq masks, shape [C, 4] uint32.
+
+    Bit i (LSB = first pattern base, Myers convention) of ``peq[c, b]`` is
+    set iff pattern base i == b.  Pattern bases decode from the packed code
+    high-bits-first (approx_counter.cpp:55-62).
+    """
+    hi = jnp.asarray(hi, jnp.uint32)
+    lo = jnp.asarray(lo, jnp.uint32)
+    bases = []
+    for i in range(k):
+        sh = 2 * (k - 1 - i)
+        if sh >= 32:
+            b = (hi >> np.uint32(sh - 32)) & np.uint32(3)
+        else:
+            b = (lo >> np.uint32(sh)) & np.uint32(3)
+        bases.append(b)
+    base = jnp.stack(bases, axis=-1)  # [C, k] uint32
+    peq = []
+    for c in range(4):
+        bits = (base == np.uint32(c)).astype(jnp.uint32)
+        mask = jnp.zeros(hi.shape, jnp.uint32)
+        for i in range(k):
+            mask = mask | (bits[..., i] << np.uint32(i))
+        peq.append(mask)
+    return jnp.stack(peq, axis=-1)  # [C, 4]
+
+
+def _bpm_step(c_row, VP, VN, score, minsc, peq_cols, k: int):
+    """One Myers DP step over a whole (Ct, Wt) tile.
+
+    ``c_row``: (1, Wt) int32 window bases at text position j.
+    ``peq_cols``: tuple of 4 (Ct, 1) uint32 masks.
+    """
+    high = np.uint32(1) << np.uint32(k - 1)
+    Eq = jnp.where(
+        c_row == 0,
+        peq_cols[0],
+        jnp.where(
+            c_row == 1,
+            peq_cols[1],
+            jnp.where(c_row == 2, peq_cols[2],
+                      jnp.where(c_row == 3, peq_cols[3], jnp.uint32(0))),
+        ),
+    )
+    Xv = Eq | VN
+    Xh = (((Eq & VP) + VP) ^ VP) | Eq
+    Ph = VN | ~(Xh | VP)
+    Mh = VP & Xh
+    score = (
+        score
+        + ((Ph & high) >> np.uint32(k - 1)).astype(jnp.int32)
+        - ((Mh & high) >> np.uint32(k - 1)).astype(jnp.int32)
+    )
+    Ph = Ph << np.uint32(1)
+    Mh = Mh << np.uint32(1)
+    VP = Mh | ~(Xv | Ph)
+    VN = Ph & Xv
+    minsc = jnp.minimum(minsc, score)
+    return VP, VN, score, minsc
+
+
+# ---------------------------------------------------------------------------
+# Pure-jnp reference implementation (CPU tests / fallback)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def approx_counts_jnp(peq, windows_t, window_valid, k: int):
+    """Reference implementation: lax.scan over text positions.
+
+    peq:          [C, 4] uint32
+    windows_t:    [m, W] uint8 (transposed windows)
+    window_valid: [W] bool/int
+    returns       [C] int32 counts = sum_w max(0, MAXERR+1 - d_min(c, w))
+    """
+    C = peq.shape[0]
+    W = windows_t.shape[1]
+    peq_cols = tuple(peq[:, b][:, None] for b in range(4))  # (C,1) x4
+    VP = jnp.full((C, W), np.uint32(0xFFFFFFFF), jnp.uint32)
+    VN = jnp.zeros((C, W), jnp.uint32)
+    score = jnp.full((C, W), k, jnp.int32)
+    minsc = jnp.full((C, W), k, jnp.int32)
+
+    def step(carry, c_row):
+        VP, VN, score, minsc = carry
+        out = _bpm_step(c_row[None, :].astype(jnp.int32), VP, VN, score, minsc,
+                        peq_cols, k)
+        return out, None
+
+    (VP, VN, score, minsc), _ = jax.lax.scan(
+        step, (VP, VN, score, minsc), windows_t.astype(jnp.int32)
+    )
+    contrib = jnp.maximum(0, (MAXERR + 1) - minsc)
+    contrib = contrib * window_valid.astype(jnp.int32)[None, :]
+    return jnp.sum(contrib, axis=1, dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+
+def _bpm_kernel(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int, m: int):
+    wi = pl.program_id(1)
+
+    peq_cols = tuple(peq_ref[:, b][:, None] for b in range(4))  # (Ct,1) u32
+    Ct = peq_ref.shape[0]
+    Wt = win_ref.shape[1]
+
+    VP = jnp.full((Ct, Wt), np.uint32(0xFFFFFFFF), jnp.uint32)
+    VN = jnp.zeros((Ct, Wt), jnp.uint32)
+    score = jnp.full((Ct, Wt), k, jnp.int32)
+    minsc = jnp.full((Ct, Wt), k, jnp.int32)
+
+    def step(j, carry):
+        VP, VN, score, minsc = carry
+        c_row = win_ref[j, :][None, :].astype(jnp.int32)  # (1, Wt)
+        return _bpm_step(c_row, VP, VN, score, minsc, peq_cols, k)
+
+    VP, VN, score, minsc = jax.lax.fori_loop(
+        0, m, step, (VP, VN, score, minsc)
+    )
+    contrib = jnp.maximum(0, (MAXERR + 1) - minsc)  # (Ct, Wt) int32
+    contrib = contrib * wvalid_ref[:].astype(jnp.int32)  # (1, Wt) broadcast
+    partial = jnp.sum(contrib, axis=1, keepdims=True)  # (Ct, 1)
+
+    @pl.when(wi == 0)
+    def _():
+        out_ref[:] = partial
+
+    @pl.when(wi != 0)
+    def _():
+        out_ref[:] = out_ref[:] + partial
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "ct", "wt", "interpret")
+)
+def approx_counts_pallas(
+    peq, windows_t, window_valid, k: int,
+    ct: int = 256, wt: int = 512, interpret: bool = False,
+):
+    """Pallas BPM: [C,4] peq x [m,W] windows -> [C] int32 counts.
+
+    C must be a multiple of ``ct`` and W of ``wt`` (callers pad; padded
+    candidates produce garbage rows that the caller drops, padded windows
+    are masked by ``window_valid``).
+    """
+    C = peq.shape[0]
+    m, W = windows_t.shape
+    assert C % ct == 0 and W % wt == 0, (C, ct, W, wt)
+    grid = (C // ct, W // wt)
+
+    wvalid = window_valid.astype(jnp.int32).reshape(1, W)
+
+    out = pl.pallas_call(
+        functools.partial(_bpm_kernel, k=k, m=m),
+        out_shape=jax.ShapeDtypeStruct((C, 1), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ct, 4), lambda ci, wi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, wt), lambda ci, wi: (0, wi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wt), lambda ci, wi: (0, wi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ct, 1), lambda ci, wi: (ci, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=18 * C * W * m, bytes_accessed=C * 16 + m * W + 4 * C,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(peq.astype(jnp.uint32), windows_t, wvalid)
+    return out[:, 0]
+
+
+def approx_counts(peq, windows_t, window_valid, k: int, **kw):
+    """Dispatch: Pallas on TPU, interpret-mode elsewhere (CPU tests)."""
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        return approx_counts_pallas(peq, windows_t, window_valid, k, **kw)
+    return approx_counts_jnp(peq, windows_t, window_valid, k)

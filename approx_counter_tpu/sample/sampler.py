@@ -1,0 +1,84 @@
+"""Read-end window sampling.
+
+Mirrors ``sampleSequences`` (/root/reference/approx_counter.cpp:415-476):
+
+  * shuffle all read indices (reference: random_device -> mt19937 -> shuffle,
+    nondeterministic by design; we add a seeded mode for tests/parity)
+  * walk the shuffled order; only reads with ``len >= 2*sl`` are eligible
+    (:461, "long enough to contain both adapters")
+  * start windows are ``seq[:sl]`` (prefix, :466); end windows are
+    ``seq[len-1-sl:]`` -- **sl+1 bases**, the reference's off-by-one at :463,
+    reproduced because it affects counts
+  * stop at ``sn`` samples or exhaustion
+
+Because eligibility already guarantees ``len >= 2*sl``, every window in a
+batch has the same length (sl or sl+1) -- the batch is a dense
+``[n_pad, width]`` uint8 array.  Rows beyond the real sample count are filled
+with ``BASE_PAD`` and masked out downstream, so device shapes stay static
+(padded to a multiple of ``pad_to``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from approx_counter_tpu.core.codec import BASE_PAD
+from approx_counter_tpu.io.fastx import Reads
+
+
+@dataclasses.dataclass
+class WindowBatch:
+    """Dense sampled-window batch: ``windows[i]`` valid iff ``i < n_valid``."""
+
+    windows: np.ndarray  # uint8 [n_pad, width], width = sl (start) or sl+1 (end)
+    n_valid: int
+
+    @property
+    def width(self) -> int:
+        return self.windows.shape[1]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def sample_windows(
+    reads: Reads,
+    sn: int,
+    sl: int,
+    end: bool,
+    rng: np.random.Generator | None = None,
+    order: np.ndarray | None = None,
+    pad_to: int = 8,
+) -> WindowBatch:
+    """Sample up to ``sn`` windows of the read starts (or ends).
+
+    ``order`` overrides the shuffle with an explicit index order (tests).
+    """
+    n_reads = len(reads)
+    if order is None:
+        if rng is None:
+            rng = np.random.default_rng()  # OS entropy, like the reference
+        order = rng.permutation(n_reads)
+    lengths = reads.lengths
+    width = sl + 1 if end else sl
+
+    # Eligibility (:461) preserved in shuffled order, truncated to sn.
+    eligible = order[lengths[order] >= 2 * sl]
+    chosen = eligible[:sn]
+    n_valid = len(chosen)
+
+    n_pad = max(_round_up(n_valid, pad_to), pad_to)
+    windows = np.full((n_pad, width), BASE_PAD, dtype=np.uint8)
+    offs = reads.offsets
+    if end:
+        starts = offs[chosen + 1] - 1 - sl  # suffix(seq, len-1-sl) -> sl+1 bases
+    else:
+        starts = offs[chosen]
+    # Gather all windows in one vectorized indexing op.
+    if n_valid:
+        idx = starts[:, None] + np.arange(width)[None, :]
+        windows[:n_valid] = reads.buf[idx]
+    return WindowBatch(windows=windows, n_valid=n_valid)

@@ -1,0 +1,140 @@
+"""Differential tests for the Myers BPM engine (SURVEY.md §4.3).
+
+Ground truth is the naive Sellers DP (oracle_dmin); the closed-form counting
+semantics (Σ max(0, 3 - d_min)) is validated against the exact-stratum DP
+(oracle_exact_error_levels).
+"""
+
+import numpy as np
+import pytest
+
+from approx_counter_tpu.core.codec import BASE_PAD, encode_kmer
+from approx_counter_tpu.kernels.bpm import (
+    MAXERR,
+    approx_counts_jnp,
+    approx_counts_pallas,
+    build_peq,
+)
+from approx_counter_tpu.core.codec import split_code
+from approx_counter_tpu.oracle import (
+    oracle_dmin,
+    oracle_error_count,
+    oracle_exact_error_levels,
+)
+
+
+def _random_patterns(rng, n, k):
+    return [rng.integers(0, 4, k).astype(np.uint8) for _ in range(n)]
+
+
+def _codes(patterns):
+    return np.array([encode_kmer(p) for p in patterns], dtype=np.uint64)
+
+
+class TestClosedForm:
+    """Exactly-e alignments exist iff e >= d_min (e <= MAXERR)."""
+
+    @pytest.mark.parametrize("k,L", [(3, 8), (5, 12), (8, 6), (16, 30)])
+    def test_levels_match_dmin(self, k, L, rng):
+        for trial in range(30):
+            pat = rng.integers(0, 4, k).astype(np.uint8)
+            # bias some trials toward near-matches
+            if trial % 3 == 0 and L > k:
+                txt = np.concatenate(
+                    [rng.integers(0, 4, L - k).astype(np.uint8), pat]
+                )[:L]
+            else:
+                txt = rng.integers(0, 5, L).astype(np.uint8)  # incl. N
+            d = oracle_dmin(pat, txt)
+            levels = oracle_exact_error_levels(pat, txt, MAXERR)
+            want = {e for e in range(MAXERR + 1) if e >= d}
+            assert levels == want, (pat, txt, d, levels)
+
+
+class TestBpmJnp:
+    @pytest.mark.parametrize("k", [2, 3, 7, 16, 17, 31, 32])
+    def test_dmin_vs_oracle(self, k, rng):
+        C, W, m = 8, 16, max(2 * k, 40)
+        pats = _random_patterns(rng, C, k)
+        wins = rng.integers(0, 5, (W, m)).astype(np.uint8)
+        # plant exact/near hits
+        for w in range(0, W, 3):
+            pos = rng.integers(0, m - k + 1)
+            wins[w, pos : pos + k] = pats[w % C]
+        hi, lo = split_code(_codes(pats))
+        peq = build_peq(hi, lo, k)
+        got = np.asarray(
+            approx_counts_jnp(peq, wins.T.copy(), np.ones(W, bool), k)
+        )
+        want = np.zeros(C, np.int32)
+        for ci, p in enumerate(pats):
+            for w in range(W):
+                want[ci] += max(0, MAXERR + 1 - oracle_dmin(p, wins[w]))
+        np.testing.assert_array_equal(got, want)
+
+    def test_padding_windows_masked(self, rng):
+        k = 2  # worst case: an all-pad window has d_min == k == MAXERR
+        pats = _random_patterns(rng, 4, k)
+        wins = rng.integers(0, 4, (8, 20)).astype(np.uint8)
+        pad = np.full((8, 20), BASE_PAD, np.uint8)
+        both = np.concatenate([wins, pad], axis=0)
+        valid = np.concatenate([np.ones(8, bool), np.zeros(8, bool)])
+        hi, lo = split_code(_codes(pats))
+        peq = build_peq(hi, lo, k)
+        got = np.asarray(approx_counts_jnp(peq, both.T.copy(), valid, k))
+        want = np.asarray(
+            approx_counts_jnp(peq, wins.T.copy(), np.ones(8, bool), k)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_trailing_pad_harmless(self, rng):
+        # SURVEY §3C monotonicity: trailing pad symbols never lower d_min.
+        k = 16
+        pats = _random_patterns(rng, 8, k)
+        wins = rng.integers(0, 4, (16, 50)).astype(np.uint8)
+        padded = np.concatenate(
+            [wins, np.full((16, 13), BASE_PAD, np.uint8)], axis=1
+        )
+        hi, lo = split_code(_codes(pats))
+        peq = build_peq(hi, lo, k)
+        a = np.asarray(approx_counts_jnp(peq, wins.T.copy(), np.ones(16, bool), k))
+        b = np.asarray(approx_counts_jnp(peq, padded.T.copy(), np.ones(16, bool), k))
+        np.testing.assert_array_equal(a, b)
+
+    def test_error_count_oracle_agreement(self, rng):
+        k = 8
+        pats = _random_patterns(rng, 4, k)
+        codes = _codes(pats)
+        wins = [rng.integers(0, 4, 30).astype(np.uint8) for _ in range(6)]
+        want = oracle_error_count(wins, codes.tolist(), k)
+        hi, lo = split_code(codes)
+        peq = build_peq(hi, lo, k)
+        wmat = np.stack(wins)
+        got = np.asarray(
+            approx_counts_jnp(peq, wmat.T.copy(), np.ones(6, bool), k)
+        )
+        for i, c in enumerate(codes.tolist()):
+            assert got[i] == want[c]
+
+
+class TestBpmPallas:
+    @pytest.mark.parametrize("k", [2, 16, 32])
+    def test_interpret_matches_jnp(self, k, rng):
+        ct, wt = 8, 128
+        C, W, m = 8, 128, 40
+        pats = _random_patterns(rng, C, k)
+        wins = rng.integers(0, 5, (W, m)).astype(np.uint8)
+        for w in range(0, W, 5):
+            pos = rng.integers(0, m - k + 1)
+            wins[w, pos : pos + k] = pats[w % C]
+        valid = np.ones(W, bool)
+        valid[-3:] = False
+        hi, lo = split_code(_codes(pats))
+        peq = build_peq(hi, lo, k)
+        want = np.asarray(approx_counts_jnp(peq, wins.T.copy(), valid, k))
+        got = np.asarray(
+            approx_counts_pallas(
+                peq, wins.T.copy(), valid, k, ct=ct, wt=wt, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, want)

@@ -1,0 +1,102 @@
+"""Unit tests for core primitives vs the reference spec (SURVEY.md §4.2)."""
+
+import numpy as np
+import pytest
+
+from approx_counter_tpu.core.codec import (
+    decode_kmer,
+    decode_kmers,
+    encode_kmer,
+    join_code,
+    seq_to_codes,
+    split_code,
+)
+from approx_counter_tpu.core.complexity import (
+    adjust_threshold,
+    complexity_score,
+    complexity_score_np,
+)
+from approx_counter_tpu.core.ordering import sort_by_compare_count
+from approx_counter_tpu.oracle import oracle_complexity, oracle_sort_compare_count
+
+
+class TestCodec:
+    def test_high_bits_first(self):
+        # dna2int packs first base in high bits (approx_counter.cpp:55-62):
+        # "AC" -> 0b0001 = 1; "CA" -> 0b0100 = 4.
+        assert encode_kmer("AC") == 1
+        assert encode_kmer("CA") == 4
+        assert encode_kmer("TTTT") == 0xFF
+        assert encode_kmer("ACGT") == 0b00011011
+
+    def test_roundtrip(self, rng):
+        for k in [2, 5, 16, 17, 31, 32]:
+            for _ in range(20):
+                codes = rng.integers(0, 4, k).astype(np.uint8)
+                s = "".join("ACGT"[c] for c in codes)
+                v = encode_kmer(s)
+                assert decode_kmer(v, k) == s
+        assert decode_kmers(np.array([1, 4], dtype=np.uint64), 2) == ["AC", "CA"]
+
+    def test_seq_to_codes(self):
+        np.testing.assert_array_equal(
+            seq_to_codes("ACGTNacgtnX"), [0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 4]
+        )
+
+    def test_split_join(self, rng):
+        v = rng.integers(0, 2**63, 100, dtype=np.uint64)
+        hi, lo = split_code(v)
+        np.testing.assert_array_equal(join_code(hi, lo), v)
+
+
+class TestComplexity:
+    def test_adjust_threshold(self):
+        # approx_counter.cpp:183-186: c * ((k_new-1)/(k_old-1))^2
+        assert adjust_threshold(1.0, 16, 16) == pytest.approx(1.0)
+        assert adjust_threshold(1.0, 16, 31) == pytest.approx(
+            float(np.float32((30 * 30) / (15 * 15)))
+        )
+
+    def test_homopolymer_is_high(self):
+        # AAAA...A (k=16): 15 identical dimers -> s = 15*14/(2*14) = 7.5
+        code = encode_kmer("A" * 16)
+        s = complexity_score_np(np.array([code], np.uint64), 16)[0]
+        assert s == pytest.approx(7.5)
+
+    @pytest.mark.parametrize("k", [3, 4, 15, 16, 17, 31, 32])
+    def test_matches_oracle(self, k, rng):
+        codes = rng.integers(0, 2**63, 64, dtype=np.uint64) & (
+            np.uint64((1 << (2 * k)) - 1)
+        )
+        want = np.array([oracle_complexity(int(c), k) for c in codes], np.float32)
+        got_np = complexity_score_np(codes, k)
+        np.testing.assert_array_equal(got_np, want)
+        hi, lo = split_code(codes)
+        got_jax = np.asarray(complexity_score(hi, lo, k))
+        np.testing.assert_array_equal(got_jax, want)
+
+    def test_k2_nan(self):
+        s = complexity_score_np(np.array([0], np.uint64), 2)
+        assert np.isnan(s[0])
+        # haveLowComplexity: NaN >= t is False -> never rejected.
+        assert not (s[0] >= np.float32(1.0))
+
+
+class TestOrdering:
+    @pytest.mark.parametrize("k", [2, 3, 16, 32])
+    def test_matches_oracle(self, k, rng):
+        n = 200
+        codes = (
+            rng.integers(0, 2**63, n, dtype=np.uint64)
+            & np.uint64((1 << (2 * k)) - 1)
+        )
+        codes = np.unique(codes)
+        counts = rng.integers(1, 6, len(codes)).astype(np.uint32)  # many ties
+        want = oracle_sort_compare_count(
+            dict(zip(codes.tolist(), counts.tolist())), k
+        )
+        hi, lo = split_code(codes)
+        s_hi, s_lo, s_cnt = sort_by_compare_count(hi, lo, counts, k)
+        got_codes = join_code(np.asarray(s_hi), np.asarray(s_lo))
+        got = list(zip(got_codes.tolist(), np.asarray(s_cnt).tolist()))
+        assert got == want

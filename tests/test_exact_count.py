@@ -1,0 +1,90 @@
+"""Differential tests: exact_count_select vs the NumPy oracle (SURVEY §4.2)."""
+
+import numpy as np
+import pytest
+
+from approx_counter_tpu.core.codec import BASE_PAD, encode_kmer, join_code
+from approx_counter_tpu.core.complexity import lc_sum_threshold
+from approx_counter_tpu.count.exact import exact_count_select
+from approx_counter_tpu.oracle import (
+    oracle_count_kmers,
+    oracle_get_most_frequent,
+    oracle_get_solid_kmers,
+)
+
+
+def _run(windows, n_valid, k, lc_thr, forbidden, limit, solid_km, cap=64):
+    fhi = (forbidden >> np.uint64(32)).astype(np.uint32)
+    flo = (forbidden & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    out = exact_count_select(
+        windows,
+        np.int32(n_valid),
+        k,
+        np.int32(lc_sum_threshold(lc_thr, k)),
+        fhi,
+        flo,
+        np.int32(limit),
+        np.int32(solid_km),
+        cap=cap,
+        n_forbidden=len(forbidden),
+        use_solid=solid_km > 0,
+    )
+    n = int(out["n_keep"])
+    codes = join_code(np.asarray(out["sel_hi"]), np.asarray(out["sel_lo"]))[:n]
+    counts = np.asarray(out["sel_count"])[:n]
+    assert bool(np.all(np.asarray(out["sel_valid"])[:n]))
+    return codes, counts, out
+
+
+@pytest.mark.parametrize("k", [2, 3, 16, 17, 32])
+def test_top_mode_matches_oracle(k, rng):
+    n, m = 12, 40
+    windows = rng.integers(0, 4, (n, m)).astype(np.uint8)
+    # sprinkle Ns and duplicate rows for count ties
+    windows[rng.random((n, m)) < 0.05] = 4
+    windows[5] = windows[2]
+    windows[7] = windows[2]
+    lc_thr = 1.0 * ((k - 1) ** 2 / 15.0**2)
+    want_counter, want_had_n = oracle_count_kmers(
+        list(windows), k, lc_thr, set()
+    )
+    want = oracle_get_most_frequent(want_counter, 20, k)
+
+    # pad rows like the sampler does
+    padded = np.concatenate(
+        [windows, np.full((4, m), BASE_PAD, np.uint8)], axis=0
+    )
+    codes, counts, out = _run(
+        padded, n, k, lc_thr, np.empty(0, np.uint64), 20, 0
+    )
+    assert int(out["had_n"]) == want_had_n
+    assert list(zip(codes.tolist(), counts.tolist())) == want
+
+
+def test_forbidden_and_solid(rng):
+    k, n, m = 4, 10, 30
+    windows = rng.integers(0, 4, (n, m)).astype(np.uint8)
+    # forbid the overall most frequent kmer
+    counter, _ = oracle_count_kmers(list(windows), k, 100.0, set())
+    top = oracle_get_most_frequent(counter, 1, k)[0][0]
+    forbidden = {int(top), encode_kmer("ACGT")}
+    want_counter, _ = oracle_count_kmers(list(windows), k, 100.0, forbidden)
+    want_solid = oracle_get_solid_kmers(want_counter, 3, k)
+
+    codes, counts, out = _run(
+        windows, n, k, 100.0, np.array(sorted(forbidden), np.uint64), 5, 3
+    )
+    assert list(zip(codes.tolist(), counts.tolist())) == want_solid
+    assert int(top) not in codes.tolist()
+
+
+def test_limit_truncation(rng):
+    k, n, m = 6, 8, 30
+    windows = rng.integers(0, 4, (n, m)).astype(np.uint8)
+    counter, _ = oracle_count_kmers(list(windows), k, 100.0, set())
+    want = oracle_get_most_frequent(counter, 7, k)
+    codes, counts, _ = _run(
+        windows, n, k, 100.0, np.empty(0, np.uint64), 7, 0
+    )
+    assert len(codes) == 7
+    assert list(zip(codes.tolist(), counts.tolist())) == want
