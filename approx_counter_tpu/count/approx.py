@@ -60,9 +60,15 @@ def approx_count_rank(
 
         counts = approx_counts_jnp(peq, windows_t, window_valid, k)
 
-    counts = jnp.where(sel_valid, counts, 0).astype(jnp.uint32)
+    return rank_with_zero_counts(sel_hi, sel_lo, counts, sel_valid, k)
 
-    # CompareCount ranking with the +1 zero-count offset described above.
+
+def rank_with_zero_counts(sel_hi, sel_lo, counts, sel_valid, k: int):
+    """CompareCount ranking with the +1 zero-count offset (see module doc).
+
+    Returns (hi, lo, count, valid) with invalid slots strictly last.
+    """
+    counts = jnp.where(sel_valid, counts, 0).astype(jnp.uint32)
     cnt_key = jnp.where(sel_valid, counts + jnp.uint32(1), jnp.uint32(0))
     k1 = ~cnt_key
     k2 = dimer_sum(sel_hi, sel_lo, k).astype(jnp.uint32)

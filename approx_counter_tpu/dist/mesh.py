@@ -1,0 +1,140 @@
+"""Data-parallel distribution over a device mesh.
+
+This component has no counterpart in the reference -- its only parallelism
+is OpenMP threads inside ``errorCount``
+(/root/reference/approx_counter.cpp:547-599) with an ``omp critical``
+reduction.  The TPU-native design (SURVEY.md §2 parallelism audit):
+
+  * sampled read **windows are sharded** along a 1-D ``data`` mesh axis;
+  * **candidate k-mers are replicated** (the Peq table is a few KB);
+  * each device scores its window shard with the Pallas BPM kernel and the
+    per-candidate partial counts merge with a ``psum`` allreduce -- riding
+    ICI within a slice, DCN across hosts (via jax.distributed init);
+  * the exact-count stage is a plain ``jit`` over globally-sharded window
+    arrays: packing is embarrassingly parallel and the sort/RLE lowers to
+    XLA's distributed sort, so no hand-written collective is needed.
+
+Counting is order-independent and every per-window contribution is summed
+exactly once, so results are invariant to mesh shape (asserted by
+tests/test_dist.py, the determinism story replacing the reference's
+thread-safety-by-construction).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(devices=None, axis: str = "data") -> Mesh:
+    """1-D mesh over the given (default: all) devices."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def shard_windows(windows, window_valid, mesh: Mesh, axis: str = "data"):
+    """Place a window batch row-sharded on the mesh (rows pre-padded to a
+    multiple of the device count by the sampler's pad_to)."""
+    ws = jax.device_put(windows, NamedSharding(mesh, P(axis, None)))
+    vs = jax.device_put(window_valid, NamedSharding(mesh, P(axis)))
+    return ws, vs
+
+
+def approx_counts_sharded(
+    peq,            # [C, 4] uint32, replicated
+    windows_t,      # [m, W] uint8; W sharded
+    window_valid,   # [W] bool; sharded
+    k: int,
+    mesh: Mesh,
+    axis: str = "data",
+    ct: int = 256,
+    wt: int = 512,
+    use_pallas: bool = True,
+    interpret: bool = False,
+):
+    """shard_map fan-out of the BPM kernel + psum count merge -> [C] int32."""
+    from approx_counter_tpu.kernels.bpm import (
+        approx_counts_jnp,
+        approx_counts_pallas,
+    )
+
+    def shard_fn(peq_rep, wt_shard, wv_shard):
+        if use_pallas:
+            counts = approx_counts_pallas(
+                peq_rep, wt_shard, wv_shard, k, ct=ct, wt=wt,
+                interpret=interpret,
+            )
+        else:
+            counts = approx_counts_jnp(peq_rep, wt_shard, wv_shard, k)
+        return jax.lax.psum(counts, axis)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis), P(axis)),
+        out_specs=P(),
+        # constant-initialized scan carries trip the varying-manual-axes
+        # typecheck; correctness of the reduction is carried by the psum
+        check_vma=False,
+    )
+    return fn(peq, windows_t, window_valid)
+
+
+def make_full_step(
+    mesh: Mesh,
+    k: int,
+    cap: int,
+    axis: str = "data",
+    ct: int = 256,
+    wt: int = 512,
+    use_pallas: bool | None = None,
+    n_forbidden: int = 0,
+    use_solid: bool = False,
+):
+    """Build the jitted full counting step over a mesh: window batch in,
+    CompareCount-ranked exact + approximate counts out.
+
+    This is the multi-chip "training step" analog: windows arrive sharded
+    P(axis, None); the exact stage runs under XLA auto-SPMD; the approx
+    stage fans out through shard_map + psum; selections/rankings are
+    replicated.
+    """
+    from approx_counter_tpu.count.approx import rank_with_zero_counts
+    from approx_counter_tpu.count.exact import exact_count_select
+    from approx_counter_tpu.kernels.bpm import build_peq
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+
+    @jax.jit
+    def step(windows, n_valid, lc_sum_thr, fhi, flo, limit, solid_km):
+        out = exact_count_select(
+            windows, n_valid, k, lc_sum_thr, fhi, flo, limit, solid_km,
+            cap=cap, n_forbidden=n_forbidden, use_solid=use_solid,
+        )
+        peq = build_peq(out["sel_hi"], out["sel_lo"], k)
+        W = windows.shape[0]
+        window_valid = jax.lax.broadcasted_iota(jnp.int32, (W,), 0) < n_valid
+        windows_t = jnp.transpose(windows, (1, 0))
+        counts = approx_counts_sharded(
+            peq, windows_t, window_valid, k, mesh=mesh, axis=axis,
+            ct=min(ct, cap), wt=wt, use_pallas=use_pallas,
+        )
+        a_hi, a_lo, a_cnt, a_val = rank_with_zero_counts(
+            out["sel_hi"], out["sel_lo"], counts, out["sel_valid"], k
+        )
+        return dict(
+            exact=out,
+            approx_hi=a_hi,
+            approx_lo=a_lo,
+            approx_count=a_cnt,
+            approx_valid=a_val,
+        )
+
+    return step

@@ -160,14 +160,14 @@ def _bpm_kernel(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int, m: int):
     score = jnp.full((Ct, Wt), k, jnp.int32)
     minsc = jnp.full((Ct, Wt), k, jnp.int32)
 
-    def step(j, carry):
-        VP, VN, score, minsc = carry
+    # Statically unrolled text loop: Mosaic cannot prove alignment for a
+    # dynamic sublane index into the uint8 window buffer, and m is static
+    # anyway (~100-200 steps of ~15 VPU ops each).
+    carry = (VP, VN, score, minsc)
+    for j in range(m):
         c_row = win_ref[j, :][None, :].astype(jnp.int32)  # (1, Wt)
-        return _bpm_step(c_row, VP, VN, score, minsc, peq_cols, k)
-
-    VP, VN, score, minsc = jax.lax.fori_loop(
-        0, m, step, (VP, VN, score, minsc)
-    )
+        carry = _bpm_step(c_row, *carry, peq_cols, k)
+    VP, VN, score, minsc = carry
     contrib = jnp.maximum(0, (MAXERR + 1) - minsc)  # (Ct, Wt) int32
     contrib = contrib * wvalid_ref[:].astype(jnp.int32)  # (1, Wt) broadcast
     partial = jnp.sum(contrib, axis=1, keepdims=True)  # (Ct, 1)

@@ -1,0 +1,255 @@
+"""End-to-end pipeline orchestrator.
+
+Mirrors the reference's ``main()`` driver loop
+(/root/reference/approx_counter.cpp:679-957): parameter echo, FASTA/FASTQ
+parse, then for each run x each end {start, end}: sample -> exact count ->
+selection -> optional exact export -> approximate count -> re-rank ->
+export.  File naming reproduces the reference exactly: outputs always get a
+``_<run>`` suffix plus ``.start`` / ``.end`` (quirk 3, SURVEY.md §5), and
+``sn`` is clamped to the read count by *mutation* that persists across
+runs/ends (quirk 4, :844-848).
+
+skip_end: the reference's break sits inside ``if(mr_v>0)``
+(approx_counter.cpp:943-948) so muted runs process the end anyway; we
+implement the *intended* skip unless ``compat_quirks`` asks for the bug.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import numpy as np
+
+from approx_counter_tpu.core.codec import join_code, split_code
+from approx_counter_tpu.core.complexity import lc_sum_threshold
+from approx_counter_tpu.count.approx import approx_count_rank
+from approx_counter_tpu.count.exact import exact_count_select
+from approx_counter_tpu.io.export import export_counter
+from approx_counter_tpu.io.fastx import Reads, read_fastx
+from approx_counter_tpu.io.kmer_list import parse_kmer_list
+from approx_counter_tpu.io.logging import Log, error, warn
+from approx_counter_tpu.params import Params
+from approx_counter_tpu.sample.sampler import sample_windows
+
+#: Kernel tile sizes (candidates x windows); see kernels/bpm.py layout notes.
+CT, WT = 256, 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fmt_num(x: float) -> str:
+    """C++ default stream float formatting (6 significant digits)."""
+    return f"{x:.6g}"
+
+
+class Engine:
+    """Reusable device-side engine for one parameter set."""
+
+    def __init__(self, prm: Params, use_pallas: bool | None = None):
+        self.prm = prm
+        self.lc_sum_thr = np.int32(lc_sum_threshold(prm.adjusted_lc, prm.k))
+        if prm.forbid_kmer:
+            self.forbidden = parse_kmer_list(prm.forbid_kmer)
+        else:
+            self.forbidden = np.empty(0, np.uint64)
+        self.fhi, self.flo = split_code(self.forbidden)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
+
+    def count_one_end(self, windows: np.ndarray, n_valid: int):
+        """Full device pipeline for one sampled batch.
+
+        Returns (exact_sel, approx_sel) as (codes, counts) numpy pairs in
+        CompareCount order, plus stats.
+        """
+        prm = self.prm
+        cap = max(512, _round_up(min(prm.limit, 1 << 20), CT))
+        while True:
+            out = exact_count_select(
+                windows,
+                np.int32(n_valid),
+                prm.k,
+                self.lc_sum_thr,
+                self.fhi,
+                self.flo,
+                np.int32(min(prm.limit, np.iinfo(np.int32).max)),
+                np.int32(prm.solid_km),
+                cap=cap,
+                n_forbidden=len(self.forbidden),
+                use_solid=prm.solid_km > 0,
+            )
+            n_keep = int(out["n_keep"])
+            if n_keep <= cap:
+                break
+            cap = _round_up(n_keep, CT)  # solid mode can exceed; re-trace
+
+        sel_hi = out["sel_hi"]
+        sel_lo = out["sel_lo"]
+        sel_count = np.asarray(out["sel_count"])
+        sel_valid = out["sel_valid"]
+        stats = dict(
+            n_unique=int(out["n_unique"]),
+            n_keep=n_keep,
+            had_n=int(out["had_n"]),
+        )
+
+        a_hi, a_lo, a_cnt, a_val = approx_count_rank(
+            windows,
+            np.int32(n_valid),
+            sel_hi,
+            sel_lo,
+            sel_valid,
+            prm.k,
+            ct=min(CT, cap),
+            wt=WT,
+            use_pallas=self.use_pallas,
+        )
+        a_hi, a_lo = np.asarray(a_hi), np.asarray(a_lo)
+        a_cnt, a_val = np.asarray(a_cnt), np.asarray(a_val)
+        n_approx = min(int(a_val.sum()), prm.limit)  # final resize(limit) :923
+
+        exact_codes = join_code(
+            np.asarray(sel_hi)[:n_keep], np.asarray(sel_lo)[:n_keep]
+        )
+        exact_counts = sel_count[:n_keep].astype(np.uint64)
+        approx_codes = join_code(a_hi[:n_approx], a_lo[:n_approx])
+        approx_counts = a_cnt[:n_approx].astype(np.uint64)
+        return (exact_codes, exact_counts), (approx_codes, approx_counts), stats
+
+
+def run_pipeline(prm: Params, log: Log | None = None) -> int:
+    """The full CLI driver.  Returns the process exit code."""
+    log = log or Log()
+    v = prm.v
+    mr_v = prm.mr_v
+
+    if prm.forbid_kmer:
+        # (typo "fobidden" preserved from approx_counter.cpp:767)
+        log("Parsing the fobidden kmer list")
+
+    try:
+        prm.validate()
+    except ValueError as e:
+        sys.stderr.write(str(e) + "\n")
+        return 1
+
+    engine = Engine(prm)
+
+    # Parameter echo (approx_counter.cpp:793-808).
+    if v > 0:
+        print(f"Kmer size:             {prm.k}")
+        print(f"Sampled sequences:     {prm.sn}")
+        print(f"Sampling length        {prm.sl}")
+        print(f"LC filter threshold:   {_fmt_num(prm.param_lc)}")
+        print(f"Adjusted LC threshold: {_fmt_num(prm.adjusted_lc)}")
+        print(f"Nb thread:             {prm.nb_thread}")
+        if prm.solid_km != 0:
+            print(f"Solid kmers:           {prm.solid_km}")
+        else:
+            print(f"Number of kept kmer:   {prm.limit}")
+        print(f"Number of runs:        {prm.nb_of_runs}")
+        print(f"Verbosity level:       {v}")
+
+    tab_level = 0
+    if v > 0 and prm.nb_of_runs > 1:
+        print(f"\nA total of {prm.nb_of_runs} runs will be performed.")
+
+    if v > 0:
+        log("Parsing FASTA file", tab_level)
+    reads = read_fastx(prm.input_file)
+    if v > 0:
+        log(f"Number of sequences found: {len(reads)}.", tab_level)
+
+    rng = np.random.default_rng(prm.seed)
+    sn = prm.sn
+
+    for current_run in range(prm.nb_of_runs):
+        run_suffix = f"_{current_run}"
+        if prm.nb_of_runs > 1 and v > 0:
+            print(f"Starting run number {current_run + 1}")
+
+        if sn > len(reads):  # clamp-by-mutation quirk (:844-848)
+            warn("Sequence set too small for the requested sample size")
+            warn("The whole set will be used.")
+            sn = len(reads)
+
+        tab_level += 1
+        for which_end in ("start", "end"):
+            bottom = which_end == "end"
+            if v > 0:
+                log(f"Working on sequence {which_end}.", tab_level - 1)
+            if mr_v > 0:
+                log("Sampling", tab_level)
+            if mr_v > 0:
+                log(
+                    "Sampling the ends of reads"
+                    if bottom
+                    else "Sampling the start of reads",
+                    tab_level,
+                )
+            batch = sample_windows(
+                reads, sn, prm.sl, end=bottom, rng=rng, pad_to=WT
+            )
+            if mr_v > 0:
+                log(f"Sampled {batch.n_valid} sequences", tab_level)
+
+            if mr_v > 0:
+                log("Exact k-mer count", tab_level)
+            (exact_codes, exact_counts), (approx_codes, approx_counts), stats = (
+                engine.count_one_end(batch.windows, batch.n_valid)
+            )
+            if stats["had_n"] > 0:
+                sys.stderr.write(
+                    "/!\\ WARNING: This dataset contained sequences with 'N' "
+                    "symbols. /!\\ WARNING: Current implementation ignores "
+                    "k-mers containing 'N'."
+                    f"/!\\ WARNING: A total of {stats['had_n']} k-mers were "
+                    "ignored.\n"
+                )
+            if mr_v > 0:
+                log(f"Number of kmer found: {stats['n_unique']}", tab_level)
+                log(
+                    "Keeping solid k-mer"
+                    if prm.solid_km
+                    else "Keeping most frequent k-mer",
+                    tab_level,
+                )
+                log(f"Number of kmer kept:  {stats['n_keep']}", tab_level)
+
+            if prm.exact_out:
+                if mr_v > 0:
+                    log("Exporting exact kmer count", tab_level)
+                path = prm.exact_out + run_suffix + "." + which_end
+                if not export_counter(exact_codes, exact_counts, prm.k, path):
+                    error("Failed to export exact k-mer count")
+                    sys.stderr.write(f"Path: {path}\n")
+                    return 1
+
+            if mr_v > 0:
+                log("Approximate k-mer count", tab_level)
+                log("Exporting approximate count", tab_level)
+            path = prm.output + run_suffix + "." + which_end
+            if not export_counter(approx_codes, approx_counts, prm.k, path):
+                error("Failed to export approximate k-mer count")
+                sys.stderr.write(f"Path: {path}\n")
+                return 1
+
+            if mr_v > 0:
+                log("Done", tab_level)
+
+            if prm.skip_end:
+                if prm.compat_quirks:
+                    # reference bug: break only announced/taken when verbose
+                    if mr_v > 0:
+                        log("Skipping end adapter ressearch")
+                        break
+                else:
+                    if mr_v > 0:
+                        log("Skipping end adapter ressearch")
+                    break
+        tab_level -= 1
+    return 0

@@ -12,6 +12,12 @@ os.environ["XLA_FLAGS"] = (
     + " --xla_force_host_platform_device_count=8"
 )
 
+import jax  # noqa: E402
+
+# The axon TPU plugin in this image ignores JAX_PLATFORMS; force via config
+# before any backend initialization.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

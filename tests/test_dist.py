@@ -1,0 +1,84 @@
+"""Mesh-invariance tests on the virtual 8-device CPU mesh (SURVEY.md §4.4).
+
+Counting is order-independent (§3C), so results must be identical across
+mesh shapes 1/2/4/8 -- the determinism assertion that replaces the
+reference's thread-safety argument.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from approx_counter_tpu.core.codec import encode_kmer, split_code
+from approx_counter_tpu.dist.mesh import (
+    approx_counts_sharded,
+    data_mesh,
+    shard_windows,
+)
+from approx_counter_tpu.kernels.bpm import approx_counts_jnp, build_peq
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_approx_counts_mesh_invariant(n_dev, rng):
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough virtual devices")
+    k, C, W, m = 16, 8, 64, 40
+    pats = [rng.integers(0, 4, k).astype(np.uint8) for _ in range(C)]
+    codes = np.array([encode_kmer(p) for p in pats], dtype=np.uint64)
+    wins = rng.integers(0, 4, (W, m)).astype(np.uint8)
+    for w in range(0, W, 4):
+        pos = rng.integers(0, m - k + 1)
+        wins[w, pos : pos + k] = pats[w % C]
+    valid = np.ones(W, bool)
+    valid[-5:] = False
+    hi, lo = split_code(codes)
+    peq = build_peq(hi, lo, k)
+
+    want = np.asarray(approx_counts_jnp(peq, wins.T.copy(), valid, k))
+
+    mesh = data_mesh(jax.devices()[:n_dev])
+    ws, vs = shard_windows(wins.T.copy(), valid, mesh)
+    # note: shard_windows shards axis 0 = m for windows_t; respec below
+    got = np.asarray(
+        approx_counts_sharded(
+            peq, wins.T.copy(), valid, k, mesh=mesh, use_pallas=False
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_exact_count_sharded_matches_single(rng):
+    """jit auto-SPMD over sharded windows == single-device result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from approx_counter_tpu.core.codec import join_code
+    from approx_counter_tpu.core.complexity import lc_sum_threshold
+    from approx_counter_tpu.count.exact import exact_count_select
+
+    k, n, m = 8, 64, 30
+    windows = rng.integers(0, 4, (n, m)).astype(np.uint8)
+    args = dict(
+        k=k, cap=64, n_forbidden=0, use_solid=False,
+    )
+    fhi = np.empty(0, np.uint32)
+    flo = np.empty(0, np.uint32)
+    thr = np.int32(lc_sum_threshold(100.0, k))
+
+    single = exact_count_select(
+        windows, np.int32(n), args["k"], thr, fhi, flo,
+        np.int32(20), np.int32(0), cap=64, n_forbidden=0, use_solid=False,
+    )
+
+    mesh = data_mesh(jax.devices()[:8])
+    wsharded = jax.device_put(windows, NamedSharding(mesh, P("data", None)))
+    sharded = exact_count_select(
+        wsharded, np.int32(n), args["k"], thr, fhi, flo,
+        np.int32(20), np.int32(0), cap=64, n_forbidden=0, use_solid=False,
+    )
+    np.testing.assert_array_equal(
+        join_code(np.asarray(single["sel_hi"]), np.asarray(single["sel_lo"])),
+        join_code(np.asarray(sharded["sel_hi"]), np.asarray(sharded["sel_lo"])),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single["sel_count"]), np.asarray(sharded["sel_count"])
+    )

@@ -1,0 +1,155 @@
+"""End-to-end pipeline tests vs a full oracle run (SURVEY.md §4.1).
+
+Identity-sampling fixtures: every read has the same length >= 2*sl and
+sn >= n_reads, so the sample is a permutation of all reads; both counting
+stages are order-independent sets/sums, making outputs deterministic and
+oracle-comparable byte for byte.
+"""
+
+import numpy as np
+import pytest
+
+from approx_counter_tpu.core.codec import codes_to_seq, decode_kmers
+from approx_counter_tpu.core.complexity import adjust_threshold
+from approx_counter_tpu.oracle import (
+    oracle_count_kmers,
+    oracle_error_count,
+    oracle_get_most_frequent,
+    oracle_get_solid_kmers,
+    oracle_sort_compare_count,
+)
+from approx_counter_tpu.params import Params
+from approx_counter_tpu.pipeline import run_pipeline
+
+N_READS, READ_LEN = 16, 80
+SL = 25  # start windows 25 bases; end windows 26 (off-by-one quirk)
+K = 8
+LIMIT = 15
+ADAPTER = "ACGTCCTAGCAT"
+
+
+@pytest.fixture
+def fasta(tmp_path, rng):
+    reads = []
+    for i in range(N_READS):
+        s = codes_to_seq(rng.integers(0, 4, READ_LEN).astype(np.uint8))
+        # plant an adapter-like motif at most read starts
+        if i % 4 != 3:
+            s = ADAPTER + s[len(ADAPTER):]
+        reads.append(s)
+    p = tmp_path / "reads.fasta"
+    with open(p, "w") as f:
+        for i, s in enumerate(reads):
+            f.write(f">read{i}\n{s[:40]}\n{s[40:]}\n")  # multi-line records
+    return p, reads
+
+
+def oracle_outputs(reads, k, sl, param_lc, limit, solid_km=0, end=False):
+    lc = adjust_threshold(param_lc, 16, k)
+    if end:
+        windows = [
+            np.frombuffer(r[len(r) - 1 - sl :].encode(), np.uint8) for r in reads
+        ]
+    else:
+        windows = [np.frombuffer(r[:sl].encode(), np.uint8) for r in reads]
+    from approx_counter_tpu.core.codec import _CHAR_TO_CODE
+
+    windows = [_CHAR_TO_CODE[w] for w in windows]
+    counter, _ = oracle_count_kmers(windows, k, lc, set())
+    if solid_km:
+        sel = oracle_get_solid_kmers(counter, solid_km, k)
+    else:
+        sel = oracle_get_most_frequent(counter, limit, k)
+    approx = oracle_error_count(windows, [c for c, _ in sel], k)
+    ranked = oracle_sort_compare_count(approx, k)[:limit]
+    exact_lines = "".join(
+        f"{decode_kmers(np.array([c], np.uint64), k)[0]}\t{n}\n" for c, n in sel
+    )
+    approx_lines = "".join(
+        f"{decode_kmers(np.array([c], np.uint64), k)[0]}\t{n}\n" for c, n in ranked
+    )
+    return exact_lines, approx_lines
+
+
+def test_end_to_end_byte_parity(fasta, tmp_path, capsys):
+    path, reads = fasta
+    out = tmp_path / "out.txt"
+    exact = tmp_path / "exact.txt"
+    prm = Params(
+        input_file=str(path),
+        output=str(out),
+        exact_out=str(exact),
+        k=K,
+        sl=SL,
+        sn=N_READS + 5,  # identity sampling (clamped, with warning)
+        limit=LIMIT,
+        param_lc=1.0,
+        v=1,
+        seed=7,
+    )
+    assert run_pipeline(prm) == 0
+
+    for end in (False, True):
+        suffix = "_0.end" if end else "_0.start"
+        want_exact, want_approx = oracle_outputs(
+            reads, K, SL, 1.0, LIMIT, end=end
+        )
+        got_exact = open(str(exact) + suffix).read()
+        got_approx = open(str(out) + suffix).read()
+        assert got_exact == want_exact, f"exact {suffix}"
+        assert got_approx == want_approx, f"approx {suffix}"
+
+    echo = capsys.readouterr().out
+    assert "Kmer size:             8" in echo
+    assert "Number of kept kmer:   15" in echo
+
+
+def test_solid_mode_and_skip_end(fasta, tmp_path):
+    path, reads = fasta
+    out = tmp_path / "out.txt"
+    exact = tmp_path / "ex.txt"
+    prm = Params(
+        input_file=str(path),
+        output=str(out),
+        exact_out=str(exact),
+        k=K,
+        sl=SL,
+        sn=100,
+        limit=LIMIT,
+        solid_km=3,
+        skip_end=True,
+        v=0,
+        seed=3,
+    )
+    assert run_pipeline(prm) == 0
+    want_exact, want_approx = oracle_outputs(
+        reads, K, SL, 1.0, LIMIT, solid_km=3
+    )
+    assert open(str(exact) + "_0.start").read() == want_exact
+    assert open(str(out) + "_0.start").read() == want_approx
+    # intended skip: no end files
+    import os
+
+    assert not os.path.exists(str(out) + "_0.end")
+
+
+def test_multi_run_suffixes(fasta, tmp_path):
+    path, _ = fasta
+    out = tmp_path / "o.txt"
+    prm = Params(
+        input_file=str(path),
+        output=str(out),
+        k=K,
+        sl=SL,
+        sn=4,
+        limit=5,
+        nb_of_runs=2,
+        v=1,
+        seed=11,
+    )
+    assert run_pipeline(prm) == 0
+    import os
+
+    for r in range(2):
+        for e in ("start", "end"):
+            assert os.path.exists(f"{out}_{r}.{e}")
