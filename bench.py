@@ -1,0 +1,161 @@
+"""Benchmark harness (driver contract: print ONE JSON line).
+
+North-star metric (BASELINE.json): read-windows x candidate-k-mers scored
+per second per chip at k=16, ed<=2 -- i.e. the Pallas Myers-BPM kernel on
+the default workload shape (512 candidates x 40960 windows x 101-base
+windows; the reference's defaults are 500 candidates x 40000 windows,
+approx_counter.cpp:708-710, padded to tile multiples).
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+baseline is an optimized CPU stand-in for its hot loop -- the same Myers
+BPM in C++ with OpenMP (native/cpu_baseline.cpp), compiled -O3
+-march=native at bench time and measured on this host, scaled to the
+reference's default 4 threads.  This is *favorable* to the reference: a
+dense BPM sweep is typically faster per pair than SeqAn's FM-index
+search-scheme enumeration it actually performs.
+
+All diagnostics go to stderr; stdout carries exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+C, W, M, K = 512, 40960, 101, 16
+ITERS = 20
+REF_THREADS = 4  # reference default, approx_counter.cpp:706
+
+
+def log(msg: str) -> None:
+    sys.stderr.write(f"[bench] {msg}\n")
+    sys.stderr.flush()
+
+
+def bench_tpu() -> float:
+    os.environ.setdefault("PYTHONPATH", "")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cache = os.path.expanduser("~/.cache/approx_counter_tpu/jax")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from approx_counter_tpu.kernels.bpm import (
+        approx_counts_jnp,
+        approx_counts_pallas,
+        build_peq,
+    )
+
+    backend = jax.default_backend()
+    log(f"backend={backend} devices={jax.devices()}")
+
+    rng = np.random.default_rng(12345)
+    codes = rng.integers(0, 1 << (2 * K), C, dtype=np.uint64)
+    hi = (codes >> np.uint64(32)).astype(np.uint32)
+    lo = (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    peq = jax.device_put(build_peq(hi, lo, K))
+    # Distinct window buffers per iteration: identical (executable, inputs)
+    # pairs can be served from a result cache by the runtime, which would
+    # fake a ~17x speedup (observed on the axon stack).
+    NBUF = ITERS + 1
+    wts = [
+        jax.device_put(
+            jnp.asarray(rng.integers(0, 4, (W, M)).astype(np.uint8).T)
+        )
+        for _ in range(NBUF)
+    ]
+    wv = jax.device_put(jnp.ones(W, bool))
+
+    use_pallas = backend not in ("cpu",)
+
+    def run(i):
+        wt = wts[i % NBUF]
+        if use_pallas:
+            return approx_counts_pallas(peq, wt, wv, K, ct=256, wt=512)
+        return approx_counts_jnp(peq, wt, wv, K)
+
+    t0 = time.perf_counter()
+    np.asarray(run(ITERS))  # warm the executable on the spare buffer only
+    log(f"first call (compile+claim): {time.perf_counter() - t0:.1f}s")
+
+    # Honest timing on this remote-execution stack requires (a) distinct
+    # input buffers, (b) a device->host fetch as the completion fence
+    # (block_until_ready returns before remote execution finishes), and
+    # (c) amortizing the ~30-50 ms tunnel round-trip over many calls:
+    # issue ITERS chained-by-addition calls, fetch once.
+    best = None
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(ITERS):
+            o = run(i)
+            acc = o if acc is None else acc + o
+        np.asarray(acc)
+        dt = (time.perf_counter() - t0) / ITERS
+        best = dt if best is None else min(best, dt)
+    dt = best
+    pairs_per_s = C * W / dt
+    log(
+        f"kernel: {dt * 1e3:.2f} ms/iter, {pairs_per_s / 1e9:.2f} Gpairs/s, "
+        f"{C * W * M / dt / 1e12:.3f} Tcell/s"
+    )
+    return pairs_per_s
+
+
+def bench_cpu_baseline() -> float | None:
+    """Compile + run the C++ OpenMP BPM baseline; returns pairs/s at the
+    reference's 4 threads (scaled from this host's core count if lower)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "native", "cpu_baseline.cpp")
+    exe = "/tmp/cpu_baseline"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fopenmp", "-std=c++14",
+             "-o", exe, src],
+            check=True, capture_output=True, timeout=120,
+        )
+        ncpu = os.cpu_count() or 1
+        threads = min(REF_THREADS, ncpu)
+        # subsample W to keep the CPU run short; pairs/s is size-independent
+        sub_w = 4096
+        r = subprocess.run(
+            [exe, str(C), str(sub_w), str(M), str(K), str(threads)],
+            check=True, capture_output=True, timeout=600, text=True,
+        )
+        per_s = float(r.stdout.strip())
+        log(f"cpu baseline ({threads} thr): {per_s / 1e6:.2f} Mpairs/s "
+            f"[{r.stderr.strip()}]")
+        if threads < REF_THREADS:
+            per_s *= REF_THREADS / threads  # optimistic linear scaling
+            log(f"scaled to {REF_THREADS} thr: {per_s / 1e6:.2f} Mpairs/s")
+        return per_s
+    except Exception as e:  # noqa: BLE001
+        log(f"cpu baseline unavailable: {e}")
+        return None
+
+
+def main() -> None:
+    tpu = bench_tpu()
+    base = bench_cpu_baseline()
+    vs = tpu / base if base else None
+    print(
+        json.dumps(
+            {
+                "metric": "window-candidate pairs scored/sec/chip "
+                          "(k=16, ed<=2, m=101)",
+                "value": round(tpu, 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(vs, 1) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
