@@ -1,0 +1,66 @@
+"""ctypes binding to the native C++ FASTA/FASTQ parser.
+
+Loads ``native/libfastx.so`` (built by ``make -C native`` / repo Makefile).
+Raises ImportError when the library isn't built so callers fall back to the
+pure-Python parser transparently (io/fastx.py ``read_fastx``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from approx_counter_tpu.io.fastx import Reads
+
+_LIB = None
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(root, "native", "libfastx.so")
+    if not os.path.exists(path):
+        raise ImportError(f"native parser not built: {path}")
+    lib = ctypes.CDLL(path)
+    lib.fastx_parse.restype = ctypes.c_void_p
+    lib.fastx_parse.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p)
+    ]
+    lib.fastx_n_reads.restype = ctypes.c_int64
+    lib.fastx_n_reads.argtypes = [ctypes.c_void_p]
+    lib.fastx_total_bases.restype = ctypes.c_int64
+    lib.fastx_total_bases.argtypes = [ctypes.c_void_p]
+    lib.fastx_buf.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.fastx_buf.argtypes = [ctypes.c_void_p]
+    lib.fastx_offsets.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.fastx_offsets.argtypes = [ctypes.c_void_p]
+    lib.fastx_free.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def read_fastx_native(path: str) -> Reads:
+    lib = _load()
+    err = ctypes.c_char_p()
+    h = lib.fastx_parse(path.encode(), ctypes.byref(err))
+    if not h:
+        msg = err.value.decode() if err.value else "parse failed"
+        if "could not open" in msg:
+            raise FileNotFoundError(path)
+        raise ValueError(msg)
+    try:
+        n = lib.fastx_n_reads(h)
+        total = lib.fastx_total_bases(h)
+        buf = np.ctypeslib.as_array(lib.fastx_buf(h), shape=(total,)).copy()
+        offsets = np.ctypeslib.as_array(
+            lib.fastx_offsets(h), shape=(n + 1,)
+        ).copy()
+    finally:
+        lib.fastx_free(h)
+    return Reads(buf=buf, offsets=offsets)

@@ -1,0 +1,147 @@
+// Native FASTA/FASTQ parser: file -> contiguous 2-bit-friendly ordinal
+// buffer + offsets, the layout approx_counter_tpu.io.fastx.Reads wants.
+//
+// Fills the role of SeqAn's SeqFileIn/readRecords in the reference
+// (/root/reference/approx_counter.cpp:824-825): whole file in RAM, format
+// auto-detected from the first byte, arbitrary characters mapped to N.
+// Single pass, branch-light, ~GB/s -- the Python fallback in io/fastx.py
+// is the behavioral spec; tests assert byte-equality of the two.
+//
+// C ABI (ctypes):
+//   fastx_handle* fastx_parse(const char* path, const char** err)
+//   int64_t  fastx_n_reads(fastx_handle*)
+//   int64_t  fastx_total_bases(fastx_handle*)
+//   const uint8_t*  fastx_buf(fastx_handle*)      // [total_bases]
+//   const int64_t*  fastx_offsets(fastx_handle*)  // [n_reads + 1]
+//   void fastx_free(fastx_handle*)
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Handle {
+    std::vector<uint8_t> buf;
+    std::vector<int64_t> offsets;
+};
+
+// char -> ordinal (A=0,C=1,G=2,T=3, other=N=4); mirrors codec.py.
+struct Table {
+    uint8_t t[256];
+    Table() {
+        memset(t, 4, sizeof(t));
+        const char *dna = "ACGT";
+        for (int i = 0; i < 4; i++) {
+            t[(uint8_t)dna[i]] = (uint8_t)i;
+            t[(uint8_t)(dna[i] + 32)] = (uint8_t)i;  // lowercase
+        }
+    }
+};
+const Table kTable;
+
+bool parse_fasta(const char *data, size_t n, Handle *h, const char **err) {
+    size_t pos = 0;
+    while (pos < n) {
+        if (data[pos] != '>') {
+            *err = "Malformed FASTA: expected '>' header";
+            return false;
+        }
+        const char *nl = (const char *)memchr(data + pos, '\n', n - pos);
+        if (!nl) {  // header w/o newline: empty record (matches Python)
+            h->offsets.push_back((int64_t)h->buf.size());
+            break;
+        }
+        size_t seq_start = (size_t)(nl - data) + 1;
+        const char *next = (const char *)memchr(
+            data + seq_start, '>', n - seq_start);
+        size_t seq_end = next ? (size_t)(next - data) : n;
+        for (size_t i = seq_start; i < seq_end; i++) {
+            uint8_t c = (uint8_t)data[i];
+            if (c != '\n' && c != '\r') h->buf.push_back(kTable.t[c]);
+        }
+        h->offsets.push_back((int64_t)h->buf.size());
+        pos = seq_end;
+    }
+    return true;
+}
+
+bool parse_fastq(const char *data, size_t n, Handle *h, const char **err) {
+    size_t pos = 0;
+    while (pos < n) {
+        // skip blank lines between records (matches Python fallback)
+        while (pos < n && (data[pos] == '\n' || data[pos] == '\r')) pos++;
+        if (pos >= n) break;
+        if (data[pos] != '@') {
+            *err = "Malformed FASTQ: expected '@' header";
+            return false;
+        }
+        const char *l1 = (const char *)memchr(data + pos, '\n', n - pos);
+        if (!l1) { *err = "Malformed FASTQ: truncated record"; return false; }
+        size_t seq_start = (size_t)(l1 - data) + 1;
+        const char *l2 = (const char *)memchr(
+            data + seq_start, '\n', n - seq_start);
+        size_t seq_end = l2 ? (size_t)(l2 - data) : n;
+        size_t e = seq_end;
+        while (e > seq_start && data[e - 1] == '\r') e--;
+        size_t plus = l2 ? seq_end + 1 : n;
+        if (plus >= n || data[plus] != '+') {
+            *err = "Malformed FASTQ: expected '+' separator";
+            return false;
+        }
+        for (size_t i = seq_start; i < e; i++)
+            h->buf.push_back(kTable.t[(uint8_t)data[i]]);
+        h->offsets.push_back((int64_t)h->buf.size());
+        // skip '+' line and quality line
+        const char *l3 = (const char *)memchr(data + plus, '\n', n - plus);
+        if (!l3) break;
+        size_t q_start = (size_t)(l3 - data) + 1;
+        const char *l4 = (const char *)memchr(
+            data + q_start, '\n', n - q_start);
+        pos = l4 ? (size_t)(l4 - data) + 1 : n;
+    }
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+Handle *fastx_parse(const char *path, const char **err) {
+    static thread_local const char *last_err = nullptr;
+    *err = nullptr;
+    FILE *f = fopen(path, "rb");
+    if (!f) { *err = "could not open file"; return nullptr; }
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<char> data((size_t)(sz > 0 ? sz : 0));
+    if (sz > 0 && fread(data.data(), 1, (size_t)sz, f) != (size_t)sz) {
+        fclose(f);
+        *err = "short read";
+        return nullptr;
+    }
+    fclose(f);
+
+    Handle *h = new Handle();
+    h->offsets.push_back(0);
+    if (data.empty()) return h;
+    bool ok;
+    if (data[0] == '>') ok = parse_fasta(data.data(), data.size(), h, err);
+    else if (data[0] == '@') ok = parse_fastq(data.data(), data.size(), h, err);
+    else { *err = "Unrecognized sequence file format"; ok = false; }
+    if (!ok) { delete h; return nullptr; }
+    (void)last_err;
+    return h;
+}
+
+int64_t fastx_n_reads(Handle *h) { return (int64_t)h->offsets.size() - 1; }
+int64_t fastx_total_bases(Handle *h) { return (int64_t)h->buf.size(); }
+const uint8_t *fastx_buf(Handle *h) {
+    return h->buf.empty() ? (const uint8_t *)"" : h->buf.data();
+}
+const int64_t *fastx_offsets(Handle *h) { return h->offsets.data(); }
+void fastx_free(Handle *h) { delete h; }
+
+}  // extern "C"

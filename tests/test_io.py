@@ -1,0 +1,127 @@
+"""IO layer tests: FASTA/FASTQ parsing (Python + native parity), config
+grammar, exporter bytes, forbidden-k-mer list."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from approx_counter_tpu.config.conf import parse_config
+from approx_counter_tpu.core.codec import encode_kmer
+from approx_counter_tpu.io.export import export_counter
+from approx_counter_tpu.io.fastx import read_fastx_py
+from approx_counter_tpu.io.kmer_list import parse_kmer_list
+
+
+FASTA = b">r0 desc\nACGT\nacgt\n>r1\nNNTT\n>empty\n>r3\nACGTACGTXX\n"
+FASTQ = b"@r0\nACGTN\n+\nIIIII\n@r1\nttgg\n+ junk\nIIII\n"
+
+
+@pytest.fixture(scope="session")
+def native_lib():
+    r = subprocess.run(["make", "-s", "native/libfastx.so"], cwd="/root/repo")
+    if r.returncode != 0:
+        pytest.skip("native build failed")
+    from approx_counter_tpu.io.native import read_fastx_native
+
+    return read_fastx_native
+
+
+class TestFastx:
+    def test_fasta_py(self, tmp_path):
+        p = tmp_path / "a.fasta"
+        p.write_bytes(FASTA)
+        r = read_fastx_py(str(p))
+        assert len(r) == 4
+        np.testing.assert_array_equal(r.read(0), [0, 1, 2, 3, 0, 1, 2, 3])
+        np.testing.assert_array_equal(r.read(1), [4, 4, 3, 3])
+        assert len(r.read(2)) == 0
+        np.testing.assert_array_equal(r.read(3)[-2:], [4, 4])
+
+    def test_fastq_py(self, tmp_path):
+        p = tmp_path / "a.fastq"
+        p.write_bytes(FASTQ)
+        r = read_fastx_py(str(p))
+        assert len(r) == 2
+        np.testing.assert_array_equal(r.read(0), [0, 1, 2, 3, 4])
+        np.testing.assert_array_equal(r.read(1), [3, 3, 2, 2])
+
+    def test_crlf(self, tmp_path):
+        p = tmp_path / "crlf.fasta"
+        p.write_bytes(b">r0\r\nACGT\r\nTT\r\n")
+        r = read_fastx_py(str(p))
+        np.testing.assert_array_equal(r.read(0), [0, 1, 2, 3, 3, 3])
+
+    @pytest.mark.parametrize("data,name", [(FASTA, "a.fasta"), (FASTQ, "a.fastq")])
+    def test_native_matches_python(self, tmp_path, native_lib, data, name):
+        p = tmp_path / name
+        p.write_bytes(data)
+        py = read_fastx_py(str(p))
+        nat = native_lib(str(p))
+        np.testing.assert_array_equal(py.buf, nat.buf)
+        np.testing.assert_array_equal(py.offsets, nat.offsets)
+
+    def test_native_random_roundtrip(self, tmp_path, native_lib, rng):
+        lines = []
+        for i in range(50):
+            L = int(rng.integers(0, 300))
+            seq = "".join("ACGTN"[c] for c in rng.integers(0, 5, L))
+            # random line wrapping
+            w = int(rng.integers(10, 80))
+            wrapped = "\n".join(seq[j : j + w] for j in range(0, max(L, 1), w))
+            lines.append(f">read{i} desc stuff\n{wrapped}\n")
+        p = tmp_path / "big.fasta"
+        p.write_text("".join(lines))
+        py = read_fastx_py(str(p))
+        nat = native_lib(str(p))
+        np.testing.assert_array_equal(py.buf, nat.buf)
+        np.testing.assert_array_equal(py.offsets, nat.offsets)
+
+    def test_native_missing_file(self, native_lib):
+        with pytest.raises(FileNotFoundError):
+            native_lib("/nonexistent/file.fasta")
+
+
+class TestConfig:
+    def test_grammar(self, tmp_path):
+        p = tmp_path / "c.txt"
+        p.write_text("# comment\nk = 12\n sl=40 \npath=/a b/c\nnoval\n\nx=#1\n")
+        cfg = parse_config(str(p))
+        assert cfg["k"] == "12"
+        assert cfg["sl"] == "40"
+        assert cfg["path"] == "/ab/c"  # spaces stripped even inside values
+        assert cfg["noval"] == ""
+        assert cfg[""] == ""  # empty line -> params[""] = "" like the ref
+        assert cfg["x"] == "#1"  # '#' only comments at line start
+    def test_missing_file(self, capsys):
+        cfg = parse_config("/nonexistent")
+        assert cfg == {}
+        assert "Could not open config file" in capsys.readouterr().err
+
+
+class TestExport:
+    def test_bytes(self, tmp_path):
+        p = tmp_path / "out.txt"
+        codes = np.array([encode_kmer("ACGT"), encode_kmer("TTTT")], np.uint64)
+        assert export_counter(codes, np.array([5, 3]), 4, str(p))
+        assert p.read_bytes() == b"ACGT\t5\nTTTT\t3\n"
+
+    def test_open_failure(self, capsys):
+        assert not export_counter(
+            np.array([0], np.uint64), np.array([1]), 4, "/no/dir/out.txt"
+        )
+        assert "COULD NOT OPEN FILE" in capsys.readouterr().err
+
+
+class TestKmerList:
+    def test_parse(self, tmp_path):
+        p = tmp_path / "fk.txt"
+        p.write_text("ACGT\nNNNN\nacgt\nAXGT\nTT\n")
+        codes = parse_kmer_list(str(p))
+        # NNNN and AXGT dropped (contain N after Dna5 conversion);
+        # acgt == ACGT dedups
+        assert set(codes.tolist()) == {encode_kmer("ACGT"), encode_kmer("TT")}
+
+    def test_missing_exits(self):
+        with pytest.raises(SystemExit):
+            parse_kmer_list("/nonexistent")
