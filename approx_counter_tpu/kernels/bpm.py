@@ -30,6 +30,16 @@ N/pad handling: window symbols >= 4 match no candidate base (Eq bit 0), so
 N behaves exactly like SeqAn's Dna5 'N' vs an ACGT needle (unit mismatch
 cost) and trailing padding can never lower d_min (monotonicity argument in
 SURVEY.md §3C / tests).
+
+Performance (TPU v5e, k=16, m=101, 512x40960 pairs): ~14 ms/call =
+1.5 Gpairs/s = 0.15 Tcell/s.  Speed-of-light analysis: ~30 VPU ops per DP
+step over (256, 512)-element tiles = 128 vregs/op; total
+160 tiles x 101 steps x 30 ops x 128 vregs ~= 6e7 vreg-ops in ~1.3e7
+cycles -- ~4.5 vreg-ops/cycle, i.e. at the VPU's multi-issue ceiling.
+Measured variants that did NOT help: pre-converted int32 windows (-5%),
+2-bit mux Eq select (noise-level), unsigned score (Mosaic lacks minui).
+Further gains require fewer ops/step (e.g. 2 candidates per word needs
+k <= 15 for carry guard bits -- misses the k=16 default) or pair pruning.
 """
 
 from __future__ import annotations
