@@ -65,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "entropy, like the reference)")
     p.add_argument("--compat-quirks", action="store_true", default=False,
                    help="reproduce documented reference bugs (see SURVEY.md §5)")
+    p.add_argument("--stream", action="store_true", default=False,
+                   help="stream the input in bounded memory with reservoir "
+                        "sampling (extension; for files larger than RAM)")
+    p.add_argument("--from-exact", type=str, default=None,
+                   help="resume: read candidate k-mers from a prior exact "
+                        "export (kmer\\tcount lines) instead of re-counting "
+                        "(extension)")
     return p
 
 
@@ -129,4 +136,7 @@ def resolve_params(argv: list[str]) -> Params:
 
     prm.seed = args.seed
     prm.compat_quirks = args.compat_quirks
+    prm.stream = args.stream
+    if args.from_exact is not None:
+        prm.from_exact = args.from_exact
     return prm

@@ -37,3 +37,27 @@ def export_counter(codes, counts, k: int, output: str) -> bool:
 
 def print_counters(codes, counts, k: int) -> None:
     sys.stdout.write(_lines(codes, counts, k, " "))
+
+
+def parse_exact_export(path: str, k: int) -> np.ndarray:
+    """Read a ``kmer\\tcount`` export back as uint64 codes (resume mode).
+
+    Lines whose k-mer is not pure ACGT of length k are rejected loudly --
+    a resume file from a different k is a user error, not data.
+    """
+    from approx_counter_tpu.core.codec import BASE_N, encode_kmer, seq_to_codes
+
+    codes = []
+    with open(path) as f:
+        for ln, line in enumerate(f, 1):
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            kmer = line.split("\t")[0]
+            c = seq_to_codes(kmer)
+            if len(c) != k or (c >= BASE_N).any():
+                raise ValueError(
+                    f"{path}:{ln}: '{kmer}' is not a pure-ACGT {k}-mer"
+                )
+            codes.append(encode_kmer(c))
+    return np.array(codes, dtype=np.uint64)

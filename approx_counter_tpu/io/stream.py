@@ -1,0 +1,162 @@
+"""Streaming FASTA/FASTQ reading with reservoir window sampling.
+
+The reference loads the whole file into RAM (approx_counter.cpp:824-825)
+and shuffles read indices to sample.  For datasets larger than host RAM --
+the framework's scaling axis (SURVEY.md §5): the *number* of windows, not
+their length -- this module streams records in bounded memory and maintains
+two independent reservoirs (start / end) of up to ``sn`` windows each.
+
+Distributional equivalence: the reference's shuffle-then-filter-eligible
+walk yields a uniform ``sn``-subset of the *eligible* reads
+(len >= 2*sl, approx_counter.cpp:461); classic reservoir sampling over the
+eligible stream yields exactly the same distribution.  Start and end
+samples are independent draws in the reference (two separate shuffles), so
+two independent reservoirs match.
+
+Windows are cut immediately (sl bases from the start; sl+1 from the end,
+preserving the reference's off-by-one at :463) so memory is
+O(sn * sl), independent of file size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from approx_counter_tpu.core.codec import BASE_PAD, _CHAR_TO_CODE
+from approx_counter_tpu.sample.sampler import WindowBatch, _round_up
+
+
+@dataclasses.dataclass
+class _Reservoir:
+    sn: int
+    sl: int
+    end: bool
+    rng: np.random.Generator
+    n_seen: int = 0
+
+    def __post_init__(self):
+        width = self.sl + 1 if self.end else self.sl
+        self.windows = np.empty((self.sn, width), dtype=np.uint8)
+
+    def offer(self, seq: np.ndarray) -> None:
+        """Offer one *eligible* read (len >= 2*sl already checked)."""
+        if self.end:
+            win = seq[len(seq) - 1 - self.sl :]
+        else:
+            win = seq[: self.sl]
+        if self.n_seen < self.sn:
+            self.windows[self.n_seen] = win
+        else:
+            j = int(self.rng.integers(0, self.n_seen + 1))
+            if j < self.sn:
+                self.windows[j] = win
+        self.n_seen += 1
+
+    def batch(self, pad_to: int = 8) -> WindowBatch:
+        n_valid = min(self.n_seen, self.sn)
+        n_pad = max(_round_up(n_valid, pad_to), pad_to)
+        out = np.full((n_pad, self.windows.shape[1]), BASE_PAD, np.uint8)
+        out[:n_valid] = self.windows[:n_valid]
+        return WindowBatch(windows=out, n_valid=n_valid)
+
+
+def _iter_fasta(f, chunk_size):
+    """Yield raw sequence bytes per record, streaming."""
+    buf = b""
+    header_seen = False
+    seq_parts: list[bytes] = []
+    while True:
+        chunk = f.read(chunk_size)
+        if not chunk:
+            break
+        buf += chunk
+        lines = buf.split(b"\n")
+        buf = lines.pop()  # tail may be incomplete
+        for line in lines:
+            line = line.rstrip(b"\r")
+            if line.startswith(b">"):
+                if header_seen:
+                    yield b"".join(seq_parts)
+                header_seen = True
+                seq_parts = []
+            elif header_seen:
+                seq_parts.append(line)
+    if buf and not buf.startswith(b">"):
+        seq_parts.append(buf.rstrip(b"\r"))
+    if header_seen:
+        yield b"".join(seq_parts)
+
+
+def _iter_fastq(f, chunk_size):
+    buf = b""
+    state = 0  # 0=@hdr 1=seq 2=+ 3=qual
+    while True:
+        chunk = f.read(chunk_size)
+        if not chunk:
+            break
+        buf += chunk
+        lines = buf.split(b"\n")
+        buf = lines.pop()
+        for line in lines:
+            line = line.rstrip(b"\r")
+            if state == 0:
+                if not line:
+                    continue
+                if not line.startswith(b"@"):
+                    raise ValueError("Malformed FASTQ: expected '@' header")
+                state = 1
+            elif state == 1:
+                yield line
+                state = 2
+            elif state == 2:
+                if not line.startswith(b"+"):
+                    raise ValueError("Malformed FASTQ: expected '+' separator")
+                state = 3
+            else:
+                state = 0
+    if state == 1 and buf:
+        yield buf.rstrip(b"\r")
+
+
+def stream_sample_windows(
+    path: str,
+    sn: int,
+    sl: int,
+    rng: np.random.Generator | None = None,
+    pad_to: int = 8,
+    chunk_size: int = 1 << 22,
+):
+    """One streaming pass -> (start WindowBatch, end WindowBatch, n_reads).
+
+    Bounded memory: O(sn * sl) plus one IO chunk.
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    # Independent reservoirs, independent streams like the reference's two
+    # separate shuffles.
+    r_start = _Reservoir(sn, sl, end=False, rng=rng)
+    r_end = _Reservoir(sn, sl, end=True, rng=rng)
+    n_reads = 0
+    with open(path, "rb") as f:
+        first = f.read(1)
+        f.seek(0)
+        if first == b">":
+            it = _iter_fasta(f, chunk_size)
+        elif first == b"@":
+            it = _iter_fastq(f, chunk_size)
+        elif not first:
+            it = iter(())
+        else:
+            raise ValueError(
+                "Unrecognized sequence file format (expected FASTA or FASTQ)"
+            )
+        for raw in it:
+            n_reads += 1
+            if len(raw) < 2 * sl:
+                continue  # eligibility, approx_counter.cpp:461
+            seq = _CHAR_TO_CODE[np.frombuffer(raw, dtype=np.uint8)]
+            r_start.offer(seq)
+            r_end.offer(seq)
+    return r_start.batch(pad_to), r_end.batch(pad_to), n_reads

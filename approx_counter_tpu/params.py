@@ -39,6 +39,10 @@ class Params:
     # --- framework extensions ---
     seed: int | None = None
     compat_quirks: bool = False
+    stream: bool = False        # bounded-memory streaming IO + reservoir
+    #                             sampling (io/stream.py)
+    from_exact: str = ""        # resume: candidate list from a prior exact
+    #                             export instead of re-counting (SURVEY §5)
 
     def validate(self) -> None:
         """approx_counter.cpp:781-787."""

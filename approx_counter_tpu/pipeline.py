@@ -16,7 +16,9 @@ implement the *intended* skip unless ``compat_quirks`` asks for the bug.
 
 from __future__ import annotations
 
+import os
 import sys
+import time
 
 import jax
 import numpy as np
@@ -29,6 +31,7 @@ from approx_counter_tpu.io.export import export_counter
 from approx_counter_tpu.io.fastx import Reads, read_fastx
 from approx_counter_tpu.io.kmer_list import parse_kmer_list
 from approx_counter_tpu.io.logging import Log, error, warn
+from approx_counter_tpu.io.stream import stream_sample_windows
 from approx_counter_tpu.params import Params
 from approx_counter_tpu.sample.sampler import sample_windows
 
@@ -59,6 +62,20 @@ class Engine:
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+
+    def candidates_from_codes(self, codes: np.ndarray):
+        """Build padded selection arrays from an explicit candidate list
+        (resume-from-exact mode).  Codes are re-ranked by CompareCount with
+        their file counts ignored (the approx stage re-counts)."""
+        cap = max(512, _round_up(max(len(codes), 1), CT))
+        hi, lo = split_code(codes)
+        sel_hi = np.zeros(cap, np.uint32)
+        sel_lo = np.zeros(cap, np.uint32)
+        sel_hi[: len(codes)] = hi
+        sel_lo[: len(codes)] = lo
+        sel_valid = np.zeros(cap, bool)
+        sel_valid[: len(codes)] = True
+        return sel_hi, sel_lo, sel_valid, cap
 
     def count_one_end(self, windows: np.ndarray, n_valid: int):
         """Full device pipeline for one sampled batch.
@@ -97,6 +114,19 @@ class Engine:
             had_n=int(out["had_n"]),
         )
 
+        approx = self.approx_stage(
+            windows, n_valid, sel_hi, sel_lo, sel_valid, cap
+        )
+        exact_codes = join_code(
+            np.asarray(sel_hi)[:n_keep], np.asarray(sel_lo)[:n_keep]
+        )
+        exact_counts = sel_count[:n_keep].astype(np.uint64)
+        return (exact_codes, exact_counts), approx, stats
+
+    def approx_stage(self, windows, n_valid, sel_hi, sel_lo, sel_valid, cap):
+        """BPM scoring + CompareCount re-rank -> (codes, counts) truncated
+        to limit (the final resize at approx_counter.cpp:923)."""
+        prm = self.prm
         a_hi, a_lo, a_cnt, a_val = approx_count_rank(
             windows,
             np.int32(n_valid),
@@ -111,14 +141,9 @@ class Engine:
         a_hi, a_lo = np.asarray(a_hi), np.asarray(a_lo)
         a_cnt, a_val = np.asarray(a_cnt), np.asarray(a_val)
         n_approx = min(int(a_val.sum()), prm.limit)  # final resize(limit) :923
-
-        exact_codes = join_code(
-            np.asarray(sel_hi)[:n_keep], np.asarray(sel_lo)[:n_keep]
-        )
-        exact_counts = sel_count[:n_keep].astype(np.uint64)
         approx_codes = join_code(a_hi[:n_approx], a_lo[:n_approx])
         approx_counts = a_cnt[:n_approx].astype(np.uint64)
-        return (exact_codes, exact_counts), (approx_codes, approx_counts), stats
+        return approx_codes, approx_counts
 
 
 def run_pipeline(prm: Params, log: Log | None = None) -> int:
@@ -158,11 +183,23 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
     if v > 0 and prm.nb_of_runs > 1:
         print(f"\nA total of {prm.nb_of_runs} runs will be performed.")
 
-    if v > 0:
-        log("Parsing FASTA file", tab_level)
-    reads = read_fastx(prm.input_file)
-    if v > 0:
-        log(f"Number of sequences found: {len(reads)}.", tab_level)
+    reads = None
+    if not prm.stream:
+        if v > 0:
+            log("Parsing FASTA file", tab_level)
+        reads = read_fastx(prm.input_file)
+        if v > 0:
+            log(f"Number of sequences found: {len(reads)}.", tab_level)
+    elif not os.path.exists(prm.input_file):
+        raise FileNotFoundError(prm.input_file)
+
+    resume_codes = None
+    if prm.from_exact:
+        from approx_counter_tpu.io.export import parse_exact_export
+
+        resume_codes = parse_exact_export(prm.from_exact, prm.k)
+        if v > 0:
+            log(f"Resuming from {len(resume_codes)} exact-count candidates")
 
     rng = np.random.default_rng(prm.seed)
     sn = prm.sn
@@ -172,10 +209,23 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
         if prm.nb_of_runs > 1 and v > 0:
             print(f"Starting run number {current_run + 1}")
 
-        if sn > len(reads):  # clamp-by-mutation quirk (:844-848)
+        stream_batches = None
+        if prm.stream:
+            if mr_v > 0:
+                log("Streaming pass (reservoir sampling both ends)", tab_level)
+            b_start, b_end, n_reads = stream_sample_windows(
+                prm.input_file, sn, prm.sl, rng=rng, pad_to=WT
+            )
+            stream_batches = {"start": b_start, "end": b_end}
+            if v > 0 and current_run == 0:
+                log(f"Number of sequences found: {n_reads}.", tab_level)
+        else:
+            n_reads = len(reads)
+
+        if sn > n_reads:  # clamp-by-mutation quirk (:844-848)
             warn("Sequence set too small for the requested sample size")
             warn("The whole set will be used.")
-            sn = len(reads)
+            sn = n_reads
 
         tab_level += 1
         for which_end in ("start", "end"):
@@ -191,17 +241,50 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
                     else "Sampling the start of reads",
                     tab_level,
                 )
-            batch = sample_windows(
-                reads, sn, prm.sl, end=bottom, rng=rng, pad_to=WT
-            )
+            t_sample = time.perf_counter()
+            if stream_batches is not None:
+                batch = stream_batches[which_end]
+            else:
+                batch = sample_windows(
+                    reads, sn, prm.sl, end=bottom, rng=rng, pad_to=WT
+                )
+            t_sample = time.perf_counter() - t_sample
             if mr_v > 0:
                 log(f"Sampled {batch.n_valid} sequences", tab_level)
 
             if mr_v > 0:
                 log("Exact k-mer count", tab_level)
-            (exact_codes, exact_counts), (approx_codes, approx_counts), stats = (
-                engine.count_one_end(batch.windows, batch.n_valid)
-            )
+            t_count = time.perf_counter()
+            if resume_codes is not None:
+                sel_hi, sel_lo, sel_valid, cap = engine.candidates_from_codes(
+                    resume_codes
+                )
+                approx = engine.approx_stage(
+                    batch.windows, batch.n_valid, sel_hi, sel_lo, sel_valid,
+                    cap,
+                )
+                exact_codes = resume_codes
+                exact_counts = np.zeros(len(resume_codes), np.uint64)
+                approx_codes, approx_counts = approx
+                stats = dict(n_unique=len(resume_codes),
+                             n_keep=len(resume_codes), had_n=0)
+            else:
+                (
+                    (exact_codes, exact_counts),
+                    (approx_codes, approx_counts),
+                    stats,
+                ) = engine.count_one_end(batch.windows, batch.n_valid)
+            t_count = time.perf_counter() - t_count
+            if mr_v >= 2:
+                n_cand = stats["n_keep"]
+                pairs = n_cand * batch.n_valid
+                log(
+                    f"[stats] sample {t_sample * 1e3:.1f} ms | "
+                    f"count+score {t_count * 1e3:.1f} ms | "
+                    f"{batch.n_valid / max(t_count, 1e-9):.0f} windows/s | "
+                    f"{pairs / max(t_count, 1e-9):.3g} pairs/s",
+                    tab_level,
+                )
             if stats["had_n"] > 0:
                 sys.stderr.write(
                     "/!\\ WARNING: This dataset contained sequences with 'N' "
@@ -220,7 +303,7 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
                 )
                 log(f"Number of kmer kept:  {stats['n_keep']}", tab_level)
 
-            if prm.exact_out:
+            if prm.exact_out and resume_codes is None:
                 if mr_v > 0:
                     log("Exporting exact kmer count", tab_level)
                 path = prm.exact_out + run_suffix + "." + which_end
