@@ -106,9 +106,21 @@ def exact_count_select(
     # lc_sum_thr arrives as an unreachable s_max+1).
     keep = keep & ~(dimer_sum(s_hi, s_lo, k) >= lc_sum_thr)
     if n_forbidden > 0:
+        # Membership test via chunked broadcast compare: O(P * F) VPU ops,
+        # bounded HLO size.  Typical forbidden lists (adapter k-mers) are
+        # tens of entries; chunking keeps the (P, chunk) intermediates small
+        # if a user supplies thousands.
         fhit = jnp.zeros_like(keep)
-        for f in range(n_forbidden):
-            fhit = fhit | ((s_hi == forbidden_hi[f]) & (s_lo == forbidden_lo[f]))
+        chunk = 64
+        for f0 in range(0, n_forbidden, chunk):
+            fh = jax.lax.slice_in_dim(
+                forbidden_hi, f0, min(f0 + chunk, n_forbidden)
+            )
+            fl = jax.lax.slice_in_dim(
+                forbidden_lo, f0, min(f0 + chunk, n_forbidden)
+            )
+            hit = (s_hi[:, None] == fh[None, :]) & (s_lo[:, None] == fl[None, :])
+            fhit = fhit | jnp.any(hit, axis=1)
         keep = keep & ~fhit
 
     count = jnp.where(keep, run_count, 0).astype(jnp.uint32)

@@ -82,3 +82,32 @@ def test_exact_count_sharded_matches_single(rng):
     np.testing.assert_array_equal(
         np.asarray(single["sel_count"]), np.asarray(sharded["sel_count"])
     )
+
+
+class TestMultihost:
+    def test_shard_paths_partition(self):
+        from approx_counter_tpu.dist.multihost import (
+            local_sample_quota,
+            shard_paths,
+        )
+
+        paths = [f"f{i}" for i in range(7)]
+        shards = [shard_paths(paths, i, 3) for i in range(3)]
+        # disjoint and complete
+        flat = [p for s in shards for p in s]
+        assert sorted(flat) == sorted(paths)
+        assert len(set(flat)) == len(paths)
+        # quotas sum to sn
+        assert sum(local_sample_quota(40000, 3, i) for i in range(3)) == 40000
+
+    def test_global_windows_single_process(self, rng):
+        import jax
+
+        from approx_counter_tpu.dist.mesh import data_mesh
+        from approx_counter_tpu.dist.multihost import global_windows
+
+        mesh = data_mesh(jax.devices()[:4])
+        local = rng.integers(0, 4, (16, 10)).astype(np.uint8)
+        arr = global_windows(local, mesh)
+        assert arr.shape == (16, 10)  # single process: local == global
+        np.testing.assert_array_equal(np.asarray(arr), local)
