@@ -95,10 +95,15 @@ def dimer_sum(hi, lo, k: int):
             d = ((lo >> np.uint32(30)) | (hi << np.uint32(2))) & np.uint32(15)
         dimers.append(d)
     dim = jnp.stack(dimers, axis=-1).astype(jnp.int32)  # (..., k-1)
-    v = jnp.sum(
-        (dim[..., None] == jnp.arange(16, dtype=jnp.int32)).astype(jnp.int32), axis=-2
-    )  # (..., 16)
-    return jnp.sum(v * (v - 1), axis=-1)  # (...,) int32
+    # sum_v v*(v-1) == number of ordered equal pairs == 2 * #unordered:
+    # pairwise compares, C(k-1,2) ops, cheaper than a 16-bin one-hot
+    # histogram ((k-1)*16 ops) for every k.
+    n = k - 1
+    acc = jnp.zeros(dim.shape[:-1], jnp.int32)
+    for i in range(n):
+        for j in range(i + 1, n):
+            acc = acc + (dim[..., i] == dim[..., j]).astype(jnp.int32)
+    return acc * 2
 
 
 def complexity_score(hi, lo, k: int):

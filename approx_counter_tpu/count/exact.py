@@ -82,15 +82,34 @@ def exact_count_select(
     valid = valid.reshape(P)
 
     # --- 2. sort by (invalid-last, code) + run-length encode --------------
-    invalid_key = (~valid).astype(jnp.uint32)
-    s_inv, s_hi, s_lo = jax.lax.sort([invalid_key, hi, lo], num_keys=3)
-    s_valid = s_inv == 0
+    # k <= 15: codes fit in 31 bits of lo, so 0xFFFFFFFF is a collision-free
+    # invalid sentinel and the sort needs a single uint32 key.  k == 16
+    # keeps the explicit invalid key (an all-T 16-mer IS 0xFFFFFFFF);
+    # k > 16 carries hi.
+    if k <= 15:
+        lo_s = jnp.where(valid, lo, jnp.uint32(0xFFFFFFFF))
+        (s_lo,) = jax.lax.sort([lo_s], num_keys=1)
+        s_hi = jnp.zeros_like(s_lo)
+        s_valid = s_lo != jnp.uint32(0xFFFFFFFF)
+    elif k <= 16:
+        invalid_key = (~valid).astype(jnp.uint32)
+        s_inv, s_lo = jax.lax.sort([invalid_key, lo], num_keys=2)
+        s_hi = jnp.zeros_like(s_lo)
+        s_valid = s_inv == 0
+    else:
+        invalid_key = (~valid).astype(jnp.uint32)
+        s_inv, s_hi, s_lo = jax.lax.sort([invalid_key, hi, lo], num_keys=3)
+        s_valid = s_inv == 0
     n_total_valid = jnp.sum(s_valid.astype(jnp.int32))
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (P,), 0)
-    prev_hi = jnp.roll(s_hi, 1)
     prev_lo = jnp.roll(s_lo, 1)
-    is_start = s_valid & ((idx == 0) | (s_hi != prev_hi) | (s_lo != prev_lo))
+    if k <= 16:
+        code_change = s_lo != prev_lo
+    else:
+        prev_hi = jnp.roll(s_hi, 1)
+        code_change = (s_hi != prev_hi) | (s_lo != prev_lo)
+    is_start = s_valid & ((idx == 0) | code_change)
 
     start_idx = jnp.where(is_start, idx, jnp.int32(P))
     # next run start at or after i+1:
@@ -131,10 +150,14 @@ def exact_count_select(
 
     # --- 4. CompareCount ranking ------------------------------------------
     k1, k2, k3, k4 = compare_count_keys(s_hi, s_lo, count, k, valid=keep)
-    o1, o2, o3, o4, o_count = jax.lax.sort(
-        [k1, k2, k3, k4, count], num_keys=4
-    )
-    sel_hi = (~o3).astype(jnp.uint32)[:cap]
+    if k <= 16:  # hi is identically zero; drop its key from the sort
+        o1, o2, o4, o_count = jax.lax.sort([k1, k2, k4, count], num_keys=3)
+        sel_hi = jnp.zeros(cap, jnp.uint32)
+    else:
+        o1, o2, o3, o4, o_count = jax.lax.sort(
+            [k1, k2, k3, k4, count], num_keys=4
+        )
+        sel_hi = (~o3).astype(jnp.uint32)[:cap]
     sel_lo = (~o4).astype(jnp.uint32)[:cap]
     sel_count = o_count[:cap]
     rank = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
