@@ -39,9 +39,15 @@ def main(argv: list[str] | None = None) -> int:
     prm = resolve_params(sys.argv[1:] if argv is None else argv)
     _apply_platform_env()
 
-    from approx_counter_tpu.pipeline import run_pipeline
-
     try:
+        if prm.multihost:
+            from approx_counter_tpu.dist.multihost import (
+                run_pipeline_multihost,
+            )
+
+            return run_pipeline_multihost(prm)
+        from approx_counter_tpu.pipeline import run_pipeline
+
         return run_pipeline(prm)
     except FileNotFoundError as e:
         sys.stderr.write(f"/!\\ ERROR: COULD NOT OPEN FILE {e.args[0]}\n")

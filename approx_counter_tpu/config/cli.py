@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream", action="store_true", default=False,
                    help="stream the input in bounded memory with reservoir "
                         "sampling (extension; for files larger than RAM)")
+    p.add_argument("--multihost", action="store_true", default=False,
+                   help="SPMD multi-host driver: run on every host after "
+                        "jax.distributed init; input may be a comma-"
+                        "separated list of per-shard files (extension)")
     p.add_argument("--from-exact", type=str, default=None,
                    help="resume: read candidate k-mers from a prior exact "
                         "export (kmer\\tcount lines) instead of re-counting "
@@ -137,6 +141,7 @@ def resolve_params(argv: list[str]) -> Params:
     prm.seed = args.seed
     prm.compat_quirks = args.compat_quirks
     prm.stream = args.stream
+    prm.multihost = args.multihost
     if args.from_exact is not None:
         prm.from_exact = args.from_exact
     return prm

@@ -1,1 +1,4 @@
-from approx_counter_tpu.count.exact import exact_count_select  # noqa: F401
+from approx_counter_tpu.count.exact import (  # noqa: F401
+    exact_count_select,
+    exact_count_select_rows,
+)

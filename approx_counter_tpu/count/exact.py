@@ -43,7 +43,36 @@ from approx_counter_tpu.core.ordering import compare_count_keys
 )
 def exact_count_select(
     windows,          # uint8 [n, m] -- BASE_PAD rows beyond n_valid
-    n_valid,          # int32 scalar: number of real windows
+    n_valid,          # int32 scalar: number of real windows (prefix rows)
+    k: int,
+    lc_sum_thr,
+    forbidden_hi,
+    forbidden_lo,
+    limit,
+    solid_km,
+    cap: int,
+    n_forbidden: int,
+    use_solid: bool,
+):
+    """Prefix-valid convenience wrapper around
+    :func:`exact_count_select_rows` (single-host layouts put all real
+    windows first)."""
+    n = windows.shape[0]
+    row_mask = jax.lax.broadcasted_iota(jnp.int32, (n,), 0) < n_valid
+    return exact_count_select_rows(
+        windows, row_mask, k, lc_sum_thr, forbidden_hi, forbidden_lo,
+        limit, solid_km, cap=cap, n_forbidden=n_forbidden,
+        use_solid=use_solid,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "cap", "n_forbidden", "use_solid")
+)
+def exact_count_select_rows(
+    windows,          # uint8 [n, m]
+    row_mask,         # bool [n]: which rows are real windows (any layout --
+    #                   multi-host shards interleave valid rows)
     k: int,
     lc_sum_thr,       # int32 scalar: integer dimer-sum threshold
     #                   (host-precomputed via complexity.lc_sum_threshold;
@@ -69,9 +98,7 @@ def exact_count_select(
         sym32 = sym.astype(jnp.uint32)
         hi = (hi << np.uint32(2)) | (lo >> np.uint32(30))
         lo = (lo << np.uint32(2)) | sym32
-    row_valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (n, p), 0) < n_valid
-    )
+    row_valid = jnp.broadcast_to(row_mask[:, None], (n, p))
     valid = (~bad) & row_valid
     # N-containing k-mers in real windows (ref had_n tally :513-517).
     had_n = jnp.sum((bad & row_valid).astype(jnp.int32))

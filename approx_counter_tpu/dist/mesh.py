@@ -112,15 +112,18 @@ def make_full_step(
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
 
+    from approx_counter_tpu.count.exact import exact_count_select_rows
+
     @jax.jit
-    def step(windows, n_valid, lc_sum_thr, fhi, flo, limit, solid_km):
-        out = exact_count_select(
-            windows, n_valid, k, lc_sum_thr, fhi, flo, limit, solid_km,
+    def step(windows, window_valid, lc_sum_thr, fhi, flo, limit, solid_km):
+        # window_valid: explicit [W] bool row mask -- multi-host layouts
+        # interleave valid rows per host shard, so an iota < n_valid test
+        # would be wrong there.
+        out = exact_count_select_rows(
+            windows, window_valid, k, lc_sum_thr, fhi, flo, limit, solid_km,
             cap=cap, n_forbidden=n_forbidden, use_solid=use_solid,
         )
         peq = build_peq(out["sel_hi"], out["sel_lo"], k)
-        W = windows.shape[0]
-        window_valid = jax.lax.broadcasted_iota(jnp.int32, (W,), 0) < n_valid
         windows_t = jnp.transpose(windows, (1, 0))
         counts = approx_counts_sharded(
             peq, windows_t, window_valid, k, mesh=mesh, axis=axis,

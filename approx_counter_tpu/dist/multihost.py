@@ -81,3 +81,124 @@ def global_windows(
     """
     sharding = NamedSharding(mesh, P(axis, None))
     return jax.make_array_from_process_local_data(sharding, local_windows)
+
+
+def run_pipeline_multihost(prm, log=None) -> int:
+    """SPMD multi-host driver: every host runs this same function.
+
+    ``prm.input_file`` may be a comma-separated list of files; each host
+    streams its round-robin shard, samples its quota of windows, and the
+    jitted full step (dist.mesh.make_full_step) counts over the global
+    mesh.  Host 0 exports.  With process_count == 1 this degrades to the
+    single-host streaming pipeline (how it is tested here).
+    """
+    import jax.numpy as jnp
+
+    from approx_counter_tpu.core.codec import join_code, split_code
+    from approx_counter_tpu.core.complexity import lc_sum_threshold
+    from approx_counter_tpu.dist.mesh import data_mesh, make_full_step
+    from approx_counter_tpu.io.export import export_counter
+    from approx_counter_tpu.io.kmer_list import parse_kmer_list
+    from approx_counter_tpu.io.logging import Log, error
+    from approx_counter_tpu.io.stream import stream_sample_windows
+
+    log = log or Log()
+    prm.validate()
+    pc, pi = jax.process_count(), jax.process_index()
+    is_host0 = pi == 0
+    v = prm.v if is_host0 else 0
+    mr_v = prm.mr_v if is_host0 else 0
+
+    mesh = data_mesh()
+    n_local_dev = len(jax.local_devices())
+    wt = 512
+
+    def round_up(x, mult):
+        return ((x + mult - 1) // mult) * mult
+
+    # equal local row counts across hosts (max quota, padded to tiles and
+    # the local device count)
+    quota = local_sample_quota(prm.sn, pc, pi)
+    w_local = max(round_up(local_sample_quota(prm.sn, pc, 0), wt * n_local_dev),
+                  wt * n_local_dev)
+
+    if prm.forbid_kmer:
+        forb = parse_kmer_list(prm.forbid_kmer)
+    else:
+        forb = np.empty(0, np.uint64)
+    fhi, flo = split_code(forb)
+    lc_thr = jnp.int32(lc_sum_threshold(prm.adjusted_lc, prm.k))
+
+    paths = prm.input_file.split(",")
+    my_paths = shard_paths(paths, pi, pc)
+
+    # seed must differ per host or every host samples identically
+    rng = np.random.default_rng(
+        None if prm.seed is None else prm.seed + 1000003 * pi
+    )
+
+    cap = max(512, round_up(min(prm.limit, 1 << 20), 256))
+    steps: dict[int, object] = {}  # cap -> jitted step (avoid retracing)
+
+    def get_step(c):
+        if c not in steps:
+            steps[c] = make_full_step(
+                mesh, prm.k, c, wt=wt,
+                n_forbidden=len(forb), use_solid=prm.solid_km > 0,
+            )
+        return steps[c]
+
+    for current_run in range(prm.nb_of_runs):
+        run_suffix = f"_{current_run}"
+        if mr_v > 0:
+            log(f"[multihost {pi}/{pc}] streaming {len(my_paths)} file(s)")
+        b_start, b_end, _ = stream_sample_windows(
+            my_paths, quota, prm.sl, rng=rng, pad_rows_to=w_local
+        )
+        for which_end, batch in (("start", b_start), ("end", b_end)):
+            wvalid_local = np.zeros(w_local, bool)
+            wvalid_local[: batch.n_valid] = True
+            gw = global_windows(batch.windows, mesh)
+            gv = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P("data")), wvalid_local
+            )
+            while True:
+                step = get_step(cap)
+                out = step(gw, gv, lc_thr, jnp.asarray(fhi),
+                           jnp.asarray(flo), jnp.int32(prm.limit),
+                           jnp.int32(prm.solid_km))
+                n_keep = int(out["exact"]["n_keep"])
+                if n_keep <= cap:
+                    break
+                cap = round_up(n_keep, 256)
+            if is_host0:
+                ex = out["exact"]
+                if prm.exact_out:
+                    codes = join_code(
+                        np.asarray(ex["sel_hi"])[:n_keep],
+                        np.asarray(ex["sel_lo"])[:n_keep],
+                    )
+                    path = prm.exact_out + run_suffix + "." + which_end
+                    if not export_counter(
+                        codes, np.asarray(ex["sel_count"])[:n_keep],
+                        prm.k, path,
+                    ):
+                        error("Failed to export exact k-mer count")
+                        return 1
+                n_approx = min(
+                    int(np.asarray(out["approx_valid"]).sum()), prm.limit
+                )
+                codes = join_code(
+                    np.asarray(out["approx_hi"])[:n_approx],
+                    np.asarray(out["approx_lo"])[:n_approx],
+                )
+                path = prm.output + run_suffix + "." + which_end
+                if not export_counter(
+                    codes, np.asarray(out["approx_count"])[:n_approx],
+                    prm.k, path,
+                ):
+                    error("Failed to export approximate k-mer count")
+                    return 1
+            if prm.skip_end:
+                break
+    return 0

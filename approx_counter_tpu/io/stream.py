@@ -121,16 +121,20 @@ def _iter_fastq(f, chunk_size):
 
 
 def stream_sample_windows(
-    path: str,
+    path: str | list[str],
     sn: int,
     sl: int,
     rng: np.random.Generator | None = None,
     pad_to: int = 8,
     chunk_size: int = 1 << 22,
+    pad_rows_to: int | None = None,
 ):
     """One streaming pass -> (start WindowBatch, end WindowBatch, n_reads).
 
-    Bounded memory: O(sn * sl) plus one IO chunk.
+    ``path`` may be a list of files (concatenated stream -- the multi-host
+    per-shard case).  Bounded memory: O(sn * sl) plus one IO chunk.
+    ``pad_rows_to`` forces an exact row count (multi-host: equal local
+    shapes across hosts).
     """
     if rng is None:
         rng = np.random.default_rng()
@@ -139,24 +143,39 @@ def stream_sample_windows(
     r_start = _Reservoir(sn, sl, end=False, rng=rng)
     r_end = _Reservoir(sn, sl, end=True, rng=rng)
     n_reads = 0
-    with open(path, "rb") as f:
-        first = f.read(1)
-        f.seek(0)
-        if first == b">":
-            it = _iter_fasta(f, chunk_size)
-        elif first == b"@":
-            it = _iter_fastq(f, chunk_size)
-        elif not first:
-            it = iter(())
-        else:
-            raise ValueError(
-                "Unrecognized sequence file format (expected FASTA or FASTQ)"
-            )
-        for raw in it:
-            n_reads += 1
-            if len(raw) < 2 * sl:
-                continue  # eligibility, approx_counter.cpp:461
-            seq = _CHAR_TO_CODE[np.frombuffer(raw, dtype=np.uint8)]
-            r_start.offer(seq)
-            r_end.offer(seq)
-    return r_start.batch(pad_to), r_end.batch(pad_to), n_reads
+    paths = [path] if isinstance(path, str) else list(path)
+    for one in paths:
+        with open(one, "rb") as f:
+            first = f.read(1)
+            f.seek(0)
+            if first == b">":
+                it = _iter_fasta(f, chunk_size)
+            elif first == b"@":
+                it = _iter_fastq(f, chunk_size)
+            elif not first:
+                it = iter(())
+            else:
+                raise ValueError(
+                    "Unrecognized sequence file format (expected FASTA or "
+                    "FASTQ)"
+                )
+            for raw in it:
+                n_reads += 1
+                if len(raw) < 2 * sl:
+                    continue  # eligibility, approx_counter.cpp:461
+                seq = _CHAR_TO_CODE[np.frombuffer(raw, dtype=np.uint8)]
+                r_start.offer(seq)
+                r_end.offer(seq)
+    b_start = r_start.batch(pad_to)
+    b_end = r_end.batch(pad_to)
+    if pad_rows_to is not None:
+        b_start = _force_rows(b_start, pad_rows_to)
+        b_end = _force_rows(b_end, pad_rows_to)
+    return b_start, b_end, n_reads
+
+
+def _force_rows(batch: WindowBatch, rows: int) -> WindowBatch:
+    assert rows >= batch.n_valid, (rows, batch.n_valid)
+    out = np.full((rows, batch.width), BASE_PAD, np.uint8)
+    out[: batch.n_valid] = batch.windows[: batch.n_valid]
+    return WindowBatch(windows=out, n_valid=batch.n_valid)

@@ -43,6 +43,8 @@ class Params:
     #                             sampling (io/stream.py)
     from_exact: str = ""        # resume: candidate list from a prior exact
     #                             export instead of re-counting (SURVEY §5)
+    multihost: bool = False     # SPMD multi-host driver (dist/multihost.py);
+    #                             input may be comma-separated file shards
 
     def validate(self) -> None:
         """approx_counter.cpp:781-787."""

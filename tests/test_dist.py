@@ -111,3 +111,37 @@ class TestMultihost:
         arr = global_windows(local, mesh)
         assert arr.shape == (16, 10)  # single process: local == global
         np.testing.assert_array_equal(np.asarray(arr), local)
+
+
+class TestMultihostPipeline:
+    def test_single_process_degrade_matches_stream(self, tmp_path, rng):
+        """process_count==1: the multihost driver must produce the same
+        bytes as the single-host streaming pipeline at identity sampling."""
+        from approx_counter_tpu.core.codec import codes_to_seq
+        from approx_counter_tpu.dist.multihost import run_pipeline_multihost
+        from approx_counter_tpu.params import Params
+        from approx_counter_tpu.pipeline import run_pipeline
+
+        sl, k = 12, 6
+        seqs = [codes_to_seq(rng.integers(0, 4, 40)) for _ in range(20)]
+        fa = tmp_path / "r.fasta"
+        with open(fa, "w") as f:
+            for i, s in enumerate(seqs):
+                f.write(f">r{i}\n{s}\n")
+        prm_mh = Params(input_file=str(fa), output=str(tmp_path / "mh.txt"),
+                        exact_out=str(tmp_path / "mhe.txt"),
+                        k=k, sl=sl, sn=100, limit=10, v=0, seed=1,
+                        multihost=True)
+        assert run_pipeline_multihost(prm_mh) == 0
+        prm_s = Params(input_file=str(fa), output=str(tmp_path / "s.txt"),
+                       exact_out=str(tmp_path / "se.txt"),
+                       k=k, sl=sl, sn=100, limit=10, v=0, seed=1,
+                       stream=True)
+        assert run_pipeline(prm_s) == 0
+        for end in ("start", "end"):
+            assert (tmp_path / f"mh.txt_0.{end}").read_bytes() == (
+                tmp_path / f"s.txt_0.{end}"
+            ).read_bytes(), end
+            assert (tmp_path / f"mhe.txt_0.{end}").read_bytes() == (
+                tmp_path / f"se.txt_0.{end}"
+            ).read_bytes(), end
