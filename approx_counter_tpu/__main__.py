@@ -39,16 +39,25 @@ def main(argv: list[str] | None = None) -> int:
     prm = resolve_params(sys.argv[1:] if argv is None else argv)
     _apply_platform_env()
 
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    if prm.profile_dir:
+        import jax
+
+        ctx = jax.profiler.trace(prm.profile_dir)
+
     try:
-        if prm.multihost:
-            from approx_counter_tpu.dist.multihost import (
-                run_pipeline_multihost,
-            )
+        with ctx:
+            if prm.multihost:
+                from approx_counter_tpu.dist.multihost import (
+                    run_pipeline_multihost,
+                )
 
-            return run_pipeline_multihost(prm)
-        from approx_counter_tpu.pipeline import run_pipeline
+                return run_pipeline_multihost(prm)
+            from approx_counter_tpu.pipeline import run_pipeline
 
-        return run_pipeline(prm)
+            return run_pipeline(prm)
     except FileNotFoundError as e:
         sys.stderr.write(f"/!\\ ERROR: COULD NOT OPEN FILE {e.args[0]}\n")
         return 1

@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream", action="store_true", default=False,
                    help="stream the input in bounded memory with reservoir "
                         "sampling (extension; for files larger than RAM)")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="dump a jax.profiler trace of the run to DIR "
+                        "(extension; view with tensorboard/xprof)")
     p.add_argument("--multihost", action="store_true", default=False,
                    help="SPMD multi-host driver: run on every host after "
                         "jax.distributed init; input may be a comma-"
@@ -142,6 +145,8 @@ def resolve_params(argv: list[str]) -> Params:
     prm.compat_quirks = args.compat_quirks
     prm.stream = args.stream
     prm.multihost = args.multihost
+    if args.profile is not None:
+        prm.profile_dir = args.profile
     if args.from_exact is not None:
         prm.from_exact = args.from_exact
     return prm

@@ -47,6 +47,16 @@ def codes_to_seq(codes: np.ndarray) -> str:
     return _CODE_TO_CHAR[np.asarray(codes, dtype=np.uint8)].tobytes().decode("ascii")
 
 
+def is_dna(seq: str | bytes | np.ndarray) -> bool:
+    """True iff the sequence is pure ACGT (case-insensitive).
+
+    Mirrors ``is_DNA`` (approx_counter.cpp:313-321): any symbol with
+    ordinal >= 4 (N or other IUPAC) fails.
+    """
+    codes = seq if isinstance(seq, np.ndarray) else seq_to_codes(seq)
+    return bool(np.all(codes < BASE_N))
+
+
 def encode_kmer(seq: str | bytes | np.ndarray) -> int:
     """Pack a pure-ACGT k-mer into an int, first base in the high bits.
 

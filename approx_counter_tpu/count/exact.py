@@ -96,7 +96,8 @@ def exact_count_select_rows(
         sym = jax.lax.slice_in_dim(windows, j, j + p, axis=1)
         bad = bad | (sym >= 4)
         sym32 = sym.astype(jnp.uint32)
-        hi = (hi << np.uint32(2)) | (lo >> np.uint32(30))
+        if k > 16:  # hi word is identically zero otherwise
+            hi = (hi << np.uint32(2)) | (lo >> np.uint32(30))
         lo = (lo << np.uint32(2)) | sym32
     row_valid = jnp.broadcast_to(row_mask[:, None], (n, p))
     valid = (~bad) & row_valid

@@ -17,6 +17,21 @@ import numpy as np
 
 from approx_counter_tpu.core.codec import _CHAR_TO_CODE
 
+#: bytes.translate table: ASCII -> base ordinals.  All big-buffer char
+#: mapping goes through bytes.translate / bytes.join, NOT numpy fancy
+#: indexing -- numpy's gather/memcpy paths run at ~15 MB/s on some
+#: virtualized hosts while CPython bytes ops hit ~1 GB/s.
+_TRANS = bytes(_CHAR_TO_CODE.tolist())
+
+
+def _codes_from_chunks(chunks: list[bytes], lengths: list[int]) -> "Reads":
+    joined = b"".join(chunks).translate(_TRANS)
+    # bytearray -> frombuffer is a writable view without a numpy memcpy
+    buf = np.frombuffer(bytearray(joined), dtype=np.uint8)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return Reads(buf=buf, offsets=offsets)
+
 
 @dataclasses.dataclass
 class Reads:
@@ -47,10 +62,23 @@ def _detect_format(first_byte: int) -> str:
     raise ValueError("Unrecognized sequence file format (expected FASTA or FASTQ)")
 
 
+def is_gzip(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(2) == b"\x1f\x8b"
+
+
 def read_fastx_py(path: str) -> Reads:
-    """Pure-Python FASTA/FASTQ parser (format auto-detected, like SeqAn)."""
+    """Pure-Python FASTA/FASTQ parser (format auto-detected, like SeqAn).
+
+    Transparently decompresses gzip inputs (framework extension -- the
+    reference build has no zlib, but .gz FASTQ is ubiquitous for nanopore
+    data)."""
     with open(path, "rb") as f:
         data = f.read()
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)
     if not data:
         return Reads(np.empty(0, np.uint8), np.zeros(1, np.int64))
     fmt = _detect_format(data[0])
@@ -93,22 +121,16 @@ def read_fastx_py(path: str) -> Reads:
             chunks.append(seq)
             lengths.append(len(seq))
             i += 4
-    total = sum(lengths)
-    buf = np.empty(total, dtype=np.uint8)
-    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
-    p = 0
-    for j, c in enumerate(chunks):
-        raw = np.frombuffer(c, dtype=np.uint8)
-        buf[p : p + len(raw)] = _CHAR_TO_CODE[raw]
-        p += len(raw)
-        offsets[j + 1] = p
-    return Reads(buf=buf, offsets=offsets)
+    return _codes_from_chunks(chunks, lengths)
 
 
 def read_fastx(path: str) -> Reads:
-    """Read a FASTA/FASTQ file; native C++ parser if built, Python otherwise."""
+    """Read a FASTA/FASTQ file; native C++ parser if built, Python otherwise.
+    gzip inputs route through the Python path."""
     if not os.path.exists(path):
         raise FileNotFoundError(path)
+    if is_gzip(path):
+        return read_fastx_py(path)
     try:
         from approx_counter_tpu.io.native import read_fastx_native
 

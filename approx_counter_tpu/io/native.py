@@ -57,10 +57,16 @@ def read_fastx_native(path: str) -> Reads:
     try:
         n = lib.fastx_n_reads(h)
         total = lib.fastx_total_bases(h)
-        buf = np.ctypeslib.as_array(lib.fastx_buf(h), shape=(total,)).copy()
-        offsets = np.ctypeslib.as_array(
-            lib.fastx_offsets(h), shape=(n + 1,)
-        ).copy()
+        # ctypes.string_at is a C memcpy into a bytes object; numpy's own
+        # copy path is ~100x slower on some virtualized hosts (see fastx.py)
+        buf = np.frombuffer(
+            bytearray(ctypes.string_at(lib.fastx_buf(h), total)),
+            dtype=np.uint8,
+        )
+        offsets = np.frombuffer(
+            bytearray(ctypes.string_at(lib.fastx_offsets(h), 8 * (n + 1))),
+            dtype=np.int64,
+        )
     finally:
         lib.fastx_free(h)
     return Reads(buf=buf, offsets=offsets)

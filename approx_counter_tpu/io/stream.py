@@ -24,7 +24,8 @@ import dataclasses
 
 import numpy as np
 
-from approx_counter_tpu.core.codec import BASE_PAD, _CHAR_TO_CODE
+from approx_counter_tpu.core.codec import BASE_PAD
+from approx_counter_tpu.io.fastx import _TRANS
 from approx_counter_tpu.sample.sampler import WindowBatch, _round_up
 
 
@@ -145,7 +146,15 @@ def stream_sample_windows(
     n_reads = 0
     paths = [path] if isinstance(path, str) else list(path)
     for one in paths:
-        with open(one, "rb") as f:
+        with open(one, "rb") as raw_f:
+            magic = raw_f.read(2)
+        if magic == b"\x1f\x8b":
+            import gzip
+
+            opener = gzip.open
+        else:
+            opener = open
+        with opener(one, "rb") as f:
             first = f.read(1)
             f.seek(0)
             if first == b">":
@@ -163,7 +172,8 @@ def stream_sample_windows(
                 n_reads += 1
                 if len(raw) < 2 * sl:
                     continue  # eligibility, approx_counter.cpp:461
-                seq = _CHAR_TO_CODE[np.frombuffer(raw, dtype=np.uint8)]
+                # bytes.translate, not numpy gather -- see io/fastx.py
+                seq = np.frombuffer(raw.translate(_TRANS), dtype=np.uint8)
                 r_start.offer(seq)
                 r_end.offer(seq)
     b_start = r_start.batch(pad_to)

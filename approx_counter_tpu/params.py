@@ -45,6 +45,7 @@ class Params:
     #                             export instead of re-counting (SURVEY §5)
     multihost: bool = False     # SPMD multi-host driver (dist/multihost.py);
     #                             input may be comma-separated file shards
+    profile_dir: str = ""       # dump a jax.profiler trace of the run here
 
     def validate(self) -> None:
         """approx_counter.cpp:781-787."""

@@ -86,7 +86,7 @@ class Engine:
         prm = self.prm
         cap = max(512, _round_up(min(prm.limit, 1 << 20), CT))
         while True:
-            out = exact_count_select(
+            dev_out = exact_count_select(
                 windows,
                 np.int32(n_valid),
                 prm.k,
@@ -99,15 +99,15 @@ class Engine:
                 n_forbidden=len(self.forbidden),
                 use_solid=prm.solid_km > 0,
             )
+            # one batched host fetch -- each separate np.asarray pays a full
+            # device round-trip (tens of ms through the remote tunnel)
+            out = jax.device_get(dev_out)
             n_keep = int(out["n_keep"])
             if n_keep <= cap:
                 break
             cap = _round_up(n_keep, CT)  # solid mode can exceed; re-trace
 
-        sel_hi = out["sel_hi"]
-        sel_lo = out["sel_lo"]
-        sel_count = np.asarray(out["sel_count"])
-        sel_valid = out["sel_valid"]
+        sel_count = out["sel_count"]
         stats = dict(
             n_unique=int(out["n_unique"]),
             n_keep=n_keep,
@@ -115,11 +115,10 @@ class Engine:
         )
 
         approx = self.approx_stage(
-            windows, n_valid, sel_hi, sel_lo, sel_valid, cap
+            windows, n_valid, dev_out["sel_hi"], dev_out["sel_lo"],
+            dev_out["sel_valid"], cap,
         )
-        exact_codes = join_code(
-            np.asarray(sel_hi)[:n_keep], np.asarray(sel_lo)[:n_keep]
-        )
+        exact_codes = join_code(out["sel_hi"][:n_keep], out["sel_lo"][:n_keep])
         exact_counts = sel_count[:n_keep].astype(np.uint64)
         return (exact_codes, exact_counts), approx, stats
 
@@ -127,19 +126,19 @@ class Engine:
         """BPM scoring + CompareCount re-rank -> (codes, counts) truncated
         to limit (the final resize at approx_counter.cpp:923)."""
         prm = self.prm
-        a_hi, a_lo, a_cnt, a_val = approx_count_rank(
-            windows,
-            np.int32(n_valid),
-            sel_hi,
-            sel_lo,
-            sel_valid,
-            prm.k,
-            ct=min(CT, cap),
-            wt=WT,
-            use_pallas=self.use_pallas,
+        a_hi, a_lo, a_cnt, a_val = jax.device_get(
+            approx_count_rank(
+                windows,
+                np.int32(n_valid),
+                sel_hi,
+                sel_lo,
+                sel_valid,
+                prm.k,
+                ct=min(CT, cap),
+                wt=WT,
+                use_pallas=self.use_pallas,
+            )
         )
-        a_hi, a_lo = np.asarray(a_hi), np.asarray(a_lo)
-        a_cnt, a_val = np.asarray(a_cnt), np.asarray(a_val)
         n_approx = min(int(a_val.sum()), prm.limit)  # final resize(limit) :923
         approx_codes = join_code(a_hi[:n_approx], a_lo[:n_approx])
         approx_counts = a_cnt[:n_approx].astype(np.uint64)

@@ -41,8 +41,32 @@ struct Table {
 };
 const Table kTable;
 
+// Append [s, e) minus newlines to h->buf, translated.  Bulk per-line
+// writes into reserved storage -- a per-char push_back loop runs ~10 MB/s
+// on some virtualized hosts, this runs at memory speed.
+static inline void append_seq_block(const char *data, size_t s, size_t e,
+                                    Handle *h) {
+    size_t old = h->buf.size();
+    h->buf.resize(old + (e - s));  // upper bound; shrink below
+    uint8_t *dst = h->buf.data() + old;
+    const uint8_t *tbl = kTable.t;
+    size_t i = s;
+    while (i < e) {
+        const char *nl = (const char *)memchr(data + i, '\n', e - i);
+        size_t line_end = nl ? (size_t)(nl - data) : e;
+        size_t len = line_end - i;
+        if (len && data[line_end - 1] == '\r') len--;
+        const uint8_t *src = (const uint8_t *)data + i;
+        for (size_t j = 0; j < len; j++) dst[j] = tbl[src[j]];
+        dst += len;
+        i = nl ? line_end + 1 : e;
+    }
+    h->buf.resize((size_t)(dst - h->buf.data()));
+}
+
 bool parse_fasta(const char *data, size_t n, Handle *h, const char **err) {
     size_t pos = 0;
+    h->buf.reserve(n);
     while (pos < n) {
         if (data[pos] != '>') {
             *err = "Malformed FASTA: expected '>' header";
@@ -57,10 +81,7 @@ bool parse_fasta(const char *data, size_t n, Handle *h, const char **err) {
         const char *next = (const char *)memchr(
             data + seq_start, '>', n - seq_start);
         size_t seq_end = next ? (size_t)(next - data) : n;
-        for (size_t i = seq_start; i < seq_end; i++) {
-            uint8_t c = (uint8_t)data[i];
-            if (c != '\n' && c != '\r') h->buf.push_back(kTable.t[c]);
-        }
+        append_seq_block(data, seq_start, seq_end, h);
         h->offsets.push_back((int64_t)h->buf.size());
         pos = seq_end;
     }
@@ -90,8 +111,14 @@ bool parse_fastq(const char *data, size_t n, Handle *h, const char **err) {
             *err = "Malformed FASTQ: expected '+' separator";
             return false;
         }
-        for (size_t i = seq_start; i < e; i++)
-            h->buf.push_back(kTable.t[(uint8_t)data[i]]);
+        {
+            size_t old = h->buf.size();
+            h->buf.resize(old + (e - seq_start));
+            uint8_t *dst = h->buf.data() + old;
+            const uint8_t *src = (const uint8_t *)data + seq_start;
+            const uint8_t *tbl = kTable.t;
+            for (size_t j = 0; j < e - seq_start; j++) dst[j] = tbl[src[j]];
+        }
         h->offsets.push_back((int64_t)h->buf.size());
         // skip '+' line and quality line
         const char *l3 = (const char *)memchr(data + plus, '\n', n - plus);

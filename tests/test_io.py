@@ -125,3 +125,33 @@ class TestKmerList:
     def test_missing_exits(self):
         with pytest.raises(SystemExit):
             parse_kmer_list("/nonexistent")
+
+
+class TestGzip:
+    def test_gzip_fasta_roundtrip(self, tmp_path):
+        import gzip
+
+        p = tmp_path / "a.fasta.gz"
+        with gzip.open(p, "wb") as f:
+            f.write(FASTA)
+        from approx_counter_tpu.io.fastx import read_fastx, read_fastx_py
+
+        plain = tmp_path / "a.fasta"
+        plain.write_bytes(FASTA)
+        gz = read_fastx(str(p))
+        ref = read_fastx_py(str(plain))
+        np.testing.assert_array_equal(gz.buf, ref.buf)
+        np.testing.assert_array_equal(gz.offsets, ref.offsets)
+
+    def test_gzip_stream(self, tmp_path):
+        import gzip
+
+        from approx_counter_tpu.io.stream import stream_sample_windows
+
+        seqs = b">r0\n" + b"ACGT" * 10 + b"\n>r1\n" + b"TTGG" * 10 + b"\n"
+        p = tmp_path / "s.fasta.gz"
+        with gzip.open(p, "wb") as f:
+            f.write(seqs)
+        b, e, n = stream_sample_windows(str(p), 10, 5,
+                                        rng=np.random.default_rng(0))
+        assert n == 2 and b.n_valid == 2
