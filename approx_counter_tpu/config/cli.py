@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream", action="store_true", default=False,
                    help="stream the input in bounded memory with reservoir "
                         "sampling (extension; for files larger than RAM)")
+    p.add_argument("--max-error", type=int, default=None, metavar="E",
+                   help="edit-distance bound for approximate counting, "
+                        "0 <= E <= 3 (extension; the reference hardcodes 2)")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="dump a jax.profiler trace of the run to DIR "
                         "(extension; view with tensorboard/xprof)")
@@ -147,6 +150,10 @@ def resolve_params(argv: list[str]) -> Params:
     prm.multihost = args.multihost
     if args.profile is not None:
         prm.profile_dir = args.profile
+    if args.max_error is not None:
+        if not 0 <= args.max_error <= 3:
+            build_parser().error("--max-error must be in [0, 3]")
+        prm.max_error = args.max_error
     if args.from_exact is not None:
         prm.from_exact = args.from_exact
     return prm

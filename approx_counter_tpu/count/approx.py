@@ -23,7 +23,8 @@ from approx_counter_tpu.kernels.bpm import approx_counts, build_peq
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ct", "wt", "use_pallas", "interpret")
+    jax.jit,
+    static_argnames=("k", "ct", "wt", "use_pallas", "interpret", "maxerr"),
 )
 def approx_count_rank(
     windows,        # uint8 [W, m] sampled windows (padded rows = BASE_PAD)
@@ -36,6 +37,7 @@ def approx_count_rank(
     wt: int,
     use_pallas: bool,
     interpret: bool = False,
+    maxerr: int = 2,
 ):
     """Returns (hi, lo, count, valid) ranked by CompareCount.
 
@@ -53,12 +55,14 @@ def approx_count_rank(
         from approx_counter_tpu.kernels.bpm import approx_counts_pallas
 
         counts = approx_counts_pallas(
-            peq, windows_t, window_valid, k, ct=ct, wt=wt, interpret=interpret
+            peq, windows_t, window_valid, k, ct=ct, wt=wt,
+            interpret=interpret, maxerr=maxerr,
         )
     else:
         from approx_counter_tpu.kernels.bpm import approx_counts_jnp
 
-        counts = approx_counts_jnp(peq, windows_t, window_valid, k)
+        counts = approx_counts_jnp(peq, windows_t, window_valid, k,
+                                   maxerr=maxerr)
 
     return rank_with_zero_counts(sel_hi, sel_lo, counts, sel_valid, k)
 

@@ -57,6 +57,7 @@ def approx_counts_sharded(
     wt: int = 512,
     use_pallas: bool = True,
     interpret: bool = False,
+    maxerr: int = 2,
 ):
     """shard_map fan-out of the BPM kernel + psum count merge -> [C] int32."""
     from approx_counter_tpu.kernels.bpm import (
@@ -68,10 +69,11 @@ def approx_counts_sharded(
         if use_pallas:
             counts = approx_counts_pallas(
                 peq_rep, wt_shard, wv_shard, k, ct=ct, wt=wt,
-                interpret=interpret,
+                interpret=interpret, maxerr=maxerr,
             )
         else:
-            counts = approx_counts_jnp(peq_rep, wt_shard, wv_shard, k)
+            counts = approx_counts_jnp(peq_rep, wt_shard, wv_shard, k,
+                                       maxerr=maxerr)
         return jax.lax.psum(counts, axis)
 
     fn = jax.shard_map(
@@ -96,6 +98,7 @@ def make_full_step(
     use_pallas: bool | None = None,
     n_forbidden: int = 0,
     use_solid: bool = False,
+    maxerr: int = 2,
 ):
     """Build the jitted full counting step over a mesh: window batch in,
     CompareCount-ranked exact + approximate counts out.
@@ -127,7 +130,7 @@ def make_full_step(
         windows_t = jnp.transpose(windows, (1, 0))
         counts = approx_counts_sharded(
             peq, windows_t, window_valid, k, mesh=mesh, axis=axis,
-            ct=min(ct, cap), wt=wt, use_pallas=use_pallas,
+            ct=min(ct, cap), wt=wt, use_pallas=use_pallas, maxerr=maxerr,
         )
         a_hi, a_lo, a_cnt, a_val = rank_with_zero_counts(
             out["sel_hi"], out["sel_lo"], counts, out["sel_valid"], k

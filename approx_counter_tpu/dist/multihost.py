@@ -145,6 +145,7 @@ def run_pipeline_multihost(prm, log=None) -> int:
             steps[c] = make_full_step(
                 mesh, prm.k, c, wt=wt,
                 n_forbidden=len(forb), use_solid=prm.solid_km > 0,
+                maxerr=prm.max_error,
             )
         return steps[c]
 

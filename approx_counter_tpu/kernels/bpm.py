@@ -52,7 +52,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MAXERR = 2  # approx_counter.cpp:25 -- fixed at compile time in the reference
+MAXERR = 2  # reference default (approx_counter.cpp:25 -- fixed at compile
+#             time there; here a static kernel parameter, 0 <= maxerr <= 3)
 
 
 def build_peq(hi, lo, k: int):
@@ -122,8 +123,9 @@ def _bpm_step(c_row, VP, VN, score, minsc, peq_cols, k: int):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def approx_counts_jnp(peq, windows_t, window_valid, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "maxerr"))
+def approx_counts_jnp(peq, windows_t, window_valid, k: int,
+                      maxerr: int = MAXERR):
     """Reference implementation: lax.scan over text positions.
 
     peq:          [C, 4] uint32
@@ -148,7 +150,7 @@ def approx_counts_jnp(peq, windows_t, window_valid, k: int):
     (VP, VN, score, minsc), _ = jax.lax.scan(
         step, (VP, VN, score, minsc), windows_t.astype(jnp.int32)
     )
-    contrib = jnp.maximum(0, (MAXERR + 1) - minsc)
+    contrib = jnp.maximum(0, (maxerr + 1) - minsc)
     contrib = contrib * window_valid.astype(jnp.int32)[None, :]
     return jnp.sum(contrib, axis=1, dtype=jnp.int32)
 
@@ -158,7 +160,8 @@ def approx_counts_jnp(peq, windows_t, window_valid, k: int):
 # ---------------------------------------------------------------------------
 
 
-def _bpm_kernel(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int, m: int):
+def _bpm_kernel(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int, m: int,
+                maxerr: int):
     wi = pl.program_id(1)
 
     peq_cols = tuple(peq_ref[:, b][:, None] for b in range(4))  # (Ct,1) u32
@@ -178,7 +181,7 @@ def _bpm_kernel(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int, m: int):
         c_row = win_ref[j, :][None, :].astype(jnp.int32)  # (1, Wt)
         carry = _bpm_step(c_row, *carry, peq_cols, k)
     VP, VN, score, minsc = carry
-    contrib = jnp.maximum(0, (MAXERR + 1) - minsc)  # (Ct, Wt) int32
+    contrib = jnp.maximum(0, (maxerr + 1) - minsc)  # (Ct, Wt) int32
     contrib = contrib * wvalid_ref[:].astype(jnp.int32)  # (1, Wt) broadcast
     partial = jnp.sum(contrib, axis=1, keepdims=True)  # (Ct, 1)
 
@@ -196,11 +199,12 @@ def _round_up(x: int, mult: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ct", "wt", "interpret")
+    jax.jit, static_argnames=("k", "ct", "wt", "interpret", "maxerr")
 )
 def approx_counts_pallas(
     peq, windows_t, window_valid, k: int,
     ct: int = 256, wt: int = 512, interpret: bool = False,
+    maxerr: int = MAXERR,
 ):
     """Pallas BPM: [C,4] peq x [m,W] windows -> [C] int32 counts.
 
@@ -216,7 +220,7 @@ def approx_counts_pallas(
     wvalid = window_valid.astype(jnp.int32).reshape(1, W)
 
     out = pl.pallas_call(
-        functools.partial(_bpm_kernel, k=k, m=m),
+        functools.partial(_bpm_kernel, k=k, m=m, maxerr=maxerr),
         out_shape=jax.ShapeDtypeStruct((C, 1), jnp.int32),
         grid=grid,
         in_specs=[
@@ -238,9 +242,12 @@ def approx_counts_pallas(
     return out[:, 0]
 
 
-def approx_counts(peq, windows_t, window_valid, k: int, **kw):
+def approx_counts(peq, windows_t, window_valid, k: int, maxerr: int = MAXERR,
+                  **kw):
     """Dispatch: Pallas on TPU, interpret-mode elsewhere (CPU tests)."""
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
-        return approx_counts_pallas(peq, windows_t, window_valid, k, **kw)
-    return approx_counts_jnp(peq, windows_t, window_valid, k)
+        return approx_counts_pallas(
+            peq, windows_t, window_valid, k, maxerr=maxerr, **kw
+        )
+    return approx_counts_jnp(peq, windows_t, window_valid, k, maxerr=maxerr)

@@ -46,6 +46,8 @@ class Params:
     multihost: bool = False     # SPMD multi-host driver (dist/multihost.py);
     #                             input may be comma-separated file shards
     profile_dir: str = ""       # dump a jax.profiler trace of the run here
+    max_error: int = 2          # edit-distance bound (reference hardcodes 2
+    #                             at compile time, approx_counter.cpp:25)
 
     def validate(self) -> None:
         """approx_counter.cpp:781-787."""

@@ -137,6 +137,7 @@ class Engine:
                 ct=min(CT, cap),
                 wt=WT,
                 use_pallas=self.use_pallas,
+                maxerr=prm.max_error,
             )
         )
         n_approx = min(int(a_val.sum()), prm.limit)  # final resize(limit) :923

@@ -138,3 +138,40 @@ class TestBpmPallas:
             )
         )
         np.testing.assert_array_equal(got, want)
+
+
+class TestMaxErr:
+    @pytest.mark.parametrize("maxerr", [0, 1, 3])
+    def test_jnp_matches_oracle(self, maxerr, rng):
+        k = 8
+        pats = _random_patterns(rng, 4, k)
+        codes = _codes(pats)
+        wins = [rng.integers(0, 4, 30).astype(np.uint8) for _ in range(6)]
+        # plant a near-hit
+        wins[0][3 : 3 + k] = pats[0]
+        want = oracle_error_count(wins, codes.tolist(), k, maxerr=maxerr)
+        hi, lo = split_code(codes)
+        peq = build_peq(hi, lo, k)
+        wmat = np.stack(wins)
+        got = np.asarray(
+            approx_counts_jnp(peq, wmat.T.copy(), np.ones(6, bool), k,
+                              maxerr=maxerr)
+        )
+        for i, c in enumerate(codes.tolist()):
+            assert got[i] == want[c], (maxerr, i)
+
+    def test_pallas_interpret_maxerr1(self, rng):
+        k = 6
+        pats = _random_patterns(rng, 8, k)
+        wins = rng.integers(0, 4, (128, 25)).astype(np.uint8)
+        hi, lo = split_code(_codes(pats))
+        peq = build_peq(hi, lo, k)
+        want = np.asarray(
+            approx_counts_jnp(peq, wins.T.copy(), np.ones(128, bool), k,
+                              maxerr=1)
+        )
+        got = np.asarray(
+            approx_counts_pallas(peq, wins.T.copy(), np.ones(128, bool), k,
+                                 ct=8, wt=128, interpret=True, maxerr=1)
+        )
+        np.testing.assert_array_equal(got, want)
