@@ -175,3 +175,31 @@ class TestMaxErr:
                                  ct=8, wt=128, interpret=True, maxerr=1)
         )
         np.testing.assert_array_equal(got, want)
+
+
+class TestBpmPacked:
+    @pytest.mark.parametrize("k", [2, 5, 8, 15, 16])
+    @pytest.mark.parametrize("maxerr", [1, 2])
+    def test_packed_interpret_matches_jnp(self, k, maxerr, rng):
+        from approx_counter_tpu.kernels.bpm import approx_counts_pallas_packed
+
+        C, W, m = 8, 128, 40
+        pats = _random_patterns(rng, C, k)
+        wins = rng.integers(0, 5, (W, m)).astype(np.uint8)
+        for w in range(0, W, 4):
+            pos = rng.integers(0, m - k + 1)
+            wins[w, pos : pos + k] = pats[w % C]
+        valid = np.ones(W, bool)
+        valid[-7:] = False
+        hi, lo = split_code(_codes(pats))
+        peq = build_peq(hi, lo, k)
+        want = np.asarray(
+            approx_counts_jnp(peq, wins.T.copy(), valid, k, maxerr=maxerr)
+        )
+        got = np.asarray(
+            approx_counts_pallas_packed(
+                peq, wins.T.copy(), valid, k, ct=8, wt=128,
+                interpret=True, maxerr=maxerr,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
