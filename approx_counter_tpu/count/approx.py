@@ -51,18 +51,11 @@ def approx_count_rank(
     # Invalid candidate slots: zero Peq is harmless (their counts are
     # dropped), no masking needed in the kernel.
     windows_t = jnp.transpose(windows, (1, 0))  # [m, W]
-    if use_pallas:
-        from approx_counter_tpu.kernels.bpm import approx_counts_pallas
-
-        counts = approx_counts_pallas(
-            peq, windows_t, window_valid, k, ct=ct, wt=wt,
-            interpret=interpret, maxerr=maxerr,
-        )
-    else:
-        from approx_counter_tpu.kernels.bpm import approx_counts_jnp
-
-        counts = approx_counts_jnp(peq, windows_t, window_valid, k,
-                                   maxerr=maxerr)
+    counts = approx_counts(
+        peq, windows_t, window_valid, k, maxerr=maxerr,
+        use_pallas=use_pallas,
+        **(dict(ct=ct, wt=wt, interpret=interpret) if use_pallas else {}),
+    )
 
     return rank_with_zero_counts(sel_hi, sel_lo, counts, sel_valid, k)
 

@@ -53,27 +53,21 @@ def approx_counts_sharded(
     k: int,
     mesh: Mesh,
     axis: str = "data",
-    ct: int = 256,
+    ct: int = 32,
     wt: int = 512,
     use_pallas: bool = True,
     interpret: bool = False,
     maxerr: int = 2,
 ):
     """shard_map fan-out of the BPM kernel + psum count merge -> [C] int32."""
-    from approx_counter_tpu.kernels.bpm import (
-        approx_counts_jnp,
-        approx_counts_pallas,
-    )
+    from approx_counter_tpu.kernels.bpm import approx_counts
 
     def shard_fn(peq_rep, wt_shard, wv_shard):
-        if use_pallas:
-            counts = approx_counts_pallas(
-                peq_rep, wt_shard, wv_shard, k, ct=ct, wt=wt,
-                interpret=interpret, maxerr=maxerr,
-            )
-        else:
-            counts = approx_counts_jnp(peq_rep, wt_shard, wv_shard, k,
-                                       maxerr=maxerr)
+        counts = approx_counts(
+            peq_rep, wt_shard, wv_shard, k, maxerr=maxerr,
+            use_pallas=use_pallas,
+            **(dict(ct=ct, wt=wt, interpret=interpret) if use_pallas else {}),
+        )
         return jax.lax.psum(counts, axis)
 
     fn = jax.shard_map(
@@ -93,7 +87,7 @@ def make_full_step(
     k: int,
     cap: int,
     axis: str = "data",
-    ct: int = 256,
+    ct: int = 32,
     wt: int = 512,
     use_pallas: bool | None = None,
     n_forbidden: int = 0,

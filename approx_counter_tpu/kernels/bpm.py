@@ -31,15 +31,16 @@ N behaves exactly like SeqAn's Dna5 'N' vs an ACGT needle (unit mismatch
 cost) and trailing padding can never lower d_min (monotonicity argument in
 SURVEY.md §3C / tests).
 
-Performance (TPU v5e, k=16, m=101, 512x40960 pairs): ~14 ms/call =
-1.5 Gpairs/s = 0.15 Tcell/s.  Speed-of-light analysis: ~30 VPU ops per DP
-step over (256, 512)-element tiles = 128 vregs/op; total
-160 tiles x 101 steps x 30 ops x 128 vregs ~= 6e7 vreg-ops in ~1.3e7
-cycles -- ~4.5 vreg-ops/cycle, i.e. at the VPU's multi-issue ceiling.
-Measured variants that did NOT help: pre-converted int32 windows (-5%),
-2-bit mux Eq select (noise-level), unsigned score (Mosaic lacks minui).
-Further gains require fewer ops/step (e.g. 2 candidates per word needs
-k <= 15 for carry guard bits -- misses the k=16 default) or pair pruning.
+Performance (TPU v5e, k=16, m=101/104, 512x40960 pairs): unpacked kernel
+~27 ms/call = 0.77 Gpairs/s; SWAR packed-pair kernel ~11.7 ms = 1.8 Gpairs/s
+= 0.19 Tcell/s at the swept-optimal tile (ct=32, wt=512 -- see
+native/sweep_tiles.py; large candidate tiles lose ~40%, likely VMEM-pressure
+induced scheduling).  Speed-of-light: ~35 VPU ops per packed DP step on
+(16, 512) u32 tiles = 64 vregs per op per 2 candidates; at ~4-5 vreg-ops/
+cycle multi-issue the packed kernel sits at the VPU ceiling.  Measured
+variants that did NOT help: pre-converted int32 windows (-5%), 2-bit mux Eq
+select (noise-level), unsigned score (Mosaic lacks minui).  pack=4 (8-bit
+fields, k <= 8) cuts per-candidate ops a further ~40% for small k.
 """
 
 from __future__ import annotations
@@ -214,7 +215,7 @@ def _round_up(x: int, mult: int) -> int:
 )
 def approx_counts_pallas(
     peq, windows_t, window_valid, k: int,
-    ct: int = 256, wt: int = 512, interpret: bool = False,
+    ct: int = 32, wt: int = 512, interpret: bool = False,
     maxerr: int = MAXERR,
 ):
     """Pallas BPM: [C,4] peq x [m,W] windows -> [C] int32 counts.
@@ -258,50 +259,62 @@ def approx_counts_pallas(
 
 
 # ---------------------------------------------------------------------------
-# Packed-pair Pallas kernel (k <= 16): two candidates per uint32 word
+# SWAR-packed Pallas kernels: 2 candidates/word (k <= 16) or 4 (k <= 8)
 # ---------------------------------------------------------------------------
 #
 # For k <= 16 a candidate's Myers state needs only 16 bits, so two
 # candidates ride in one uint32 (candidate 2i in bits 0..15, 2i+1 in
-# 16..31).  The only carry-coupled op, (Eq & VP) + VP, becomes a SWAR
-# per-field mod-2^16 addition:
+# 16..31); for k <= 8, four candidates in 8-bit fields.  The only
+# carry-coupled op, (Eq & VP) + VP, becomes a SWAR per-field mod-2^fw
+# addition (fw = field width):
 #
-#   sum = ((a & ~H) + (b & ~H)) ^ ((a ^ b) & H),   H = 0x80008000
+#   sum = ((a & ~H) + (b & ~H)) ^ ((a ^ b) & H),   H = top bit of each field
 #
-# (low 15 bits add normally; each field's top bit is a ^ b ^ carry_in and
-# the inter-field carry is discarded -- exactly mod-2^16 per field, which
-# matches single-word Myers where carries beyond bit k-1 never feed back).
-# Left shifts mask the bit that would leak from field A into field B.  The
-# two scores share one packed int32 counter: the +-1 deltas address bits 0
-# and 16 via the mask 0x00010001, and per-field borrows cannot occur
-# because a Myers score is a distance and never goes negative.
-# ~21 VPU ops per step per candidate vs ~30 for the unpacked kernel.
+# (low fw-1 bits add normally; each field's top bit is a ^ b ^ carry_in and
+# the inter-field carry is discarded -- exactly mod-2^fw per field, which
+# matches single-word Myers where carries beyond bit k-1 never feed back
+# into bits < k: carries only propagate upward).  Left shifts mask the bit
+# that would leak between fields.  All pack scores share one packed int32
+# counter: the +-1 deltas address each field's bit 0 via a replicated-ones
+# mask, and per-field borrows cannot occur because a Myers score is a
+# distance and never goes negative.  Score fields must not overflow:
+# score_j <= k + j <= k + m, so pack=4 requires k + m <= 127 (the wrapper
+# falls back to pack=2 otherwise; pack=2's 16-bit bound is never binding).
+# ~18 (pack=2) / ~12 (pack=4) VPU ops per step per candidate vs ~30
+# unpacked.
+
+
+def _swar_consts(pack: int):
+    fw = 32 // pack
+    ones = sum(1 << (fw * i) for i in range(pack))          # bit0 per field
+    H = np.uint32(ones << (fw - 1))                          # top bit/field
+    NH = np.uint32(H ^ 0xFFFFFFFF)
+    LEAK = np.uint32((ones ^ 0xFFFFFFFF) & 0xFFFFFFFF)       # post-<<1 mask
+    SBIT = np.int32(ones)                                    # score deltas
+    return fw, H, NH, LEAK, SBIT
 
 
 def _bpm_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
-                       m: int, maxerr: int):
+                       m: int, maxerr: int, pack: int):
     wi = pl.program_id(1)
 
-    peq_cols = tuple(peq_ref[:, b][:, None] for b in range(4))  # (Ct2,1) u32
-    Ct2 = peq_ref.shape[0]
+    peq_cols = tuple(peq_ref[:, b][:, None] for b in range(4))  # (Ctp,1) u32
+    Ctp = peq_ref.shape[0]
     Wt = win_ref.shape[1]
 
-    H = np.uint32(0x80008000)
-    NH = np.uint32(0x7FFF7FFF)
-    LEAK = np.uint32(0xFFFEFFFE)      # clears bit 0/16 after << 1
-    SBIT = np.int32(0x00010001)       # score-delta mask (bits 0 and 16)
+    fw, H, NH, LEAK, SBIT = _swar_consts(pack)
+    FMASK = jnp.int32((1 << fw) - 1)
     sh = np.uint32(k - 1)
 
-    VP = jnp.full((Ct2, Wt), np.uint32(0xFFFFFFFF), jnp.uint32)
-    VN = jnp.zeros((Ct2, Wt), jnp.uint32)
-    score = jnp.full((Ct2, Wt), k * 0x00010001, jnp.int32)  # packed pair
-    minA = jnp.full((Ct2, Wt), k, jnp.int32)
-    minB = jnp.full((Ct2, Wt), k, jnp.int32)
+    VP = jnp.full((Ctp, Wt), np.uint32(0xFFFFFFFF), jnp.uint32)
+    VN = jnp.zeros((Ctp, Wt), jnp.uint32)
+    score = jnp.full((Ctp, Wt), k * int(SBIT), jnp.int32)  # packed fields
+    mins = [jnp.full((Ctp, Wt), k, jnp.int32) for _ in range(pack)]
 
     assert m % 8 == 0, m  # caller pads; see _bpm_kernel group-loading note
 
     def step(c_row, carry):
-        VP, VN, score, minA, minB = carry
+        VP, VN, score, mins = carry
         Eq = jnp.where(
             c_row == 0, peq_cols[0],
             jnp.where(c_row == 1, peq_cols[1],
@@ -318,15 +331,15 @@ def _bpm_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
         up = ((Ph >> sh).astype(jnp.int32)) & SBIT
         down = ((Mh >> sh).astype(jnp.int32)) & SBIT
         score = score + up - down
-        sA = score & jnp.int32(0xFFFF)
-        sB = score >> jnp.int32(16)
-        minA = jnp.minimum(minA, sA)
-        minB = jnp.minimum(minB, sB)
+        mins = [
+            jnp.minimum(mn, (score >> jnp.int32(fw * f)) & FMASK)
+            for f, mn in enumerate(mins)
+        ]
         Ph = (Ph << np.uint32(1)) & LEAK
         Mh = (Mh << np.uint32(1)) & LEAK
         VP = Mh | ~(Xv | Ph)
         VN = Ph & Xv
-        return (VP, VN, score, minA, minB)
+        return (VP, VN, score, mins)
 
     def group(g, carry):
         base = pl.multiple_of(g * 8, 8)
@@ -335,16 +348,18 @@ def _bpm_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
             carry = step(rows[i, :][None, :], carry)
         return carry
 
-    VP, VN, score, minA, minB = jax.lax.fori_loop(
-        0, m // 8, group, (VP, VN, score, minA, minB)
+    VP, VN, score, mins = jax.lax.fori_loop(
+        0, m // 8, group, (VP, VN, score, mins)
     )
     wv = wvalid_ref[:].astype(jnp.int32)  # (1, Wt)
-    cA = jnp.maximum(0, (maxerr + 1) - minA) * wv
-    cB = jnp.maximum(0, (maxerr + 1) - minB) * wv
     partial = jnp.concatenate(
-        [jnp.sum(cA, axis=1, keepdims=True),
-         jnp.sum(cB, axis=1, keepdims=True)], axis=1,
-    )  # (Ct2, 2)
+        [
+            jnp.sum(jnp.maximum(0, (maxerr + 1) - mn) * wv,
+                    axis=1, keepdims=True)
+            for mn in mins
+        ],
+        axis=1,
+    )  # (Ctp, pack)
 
     @pl.when(wi == 0)
     def _():
@@ -356,64 +371,80 @@ def _bpm_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ct", "wt", "interpret", "maxerr")
+    jax.jit, static_argnames=("k", "ct", "wt", "interpret", "maxerr", "pack")
 )
 def approx_counts_pallas_packed(
     peq, windows_t, window_valid, k: int,
-    ct: int = 256, wt: int = 512, interpret: bool = False,
-    maxerr: int = MAXERR,
+    ct: int = 32, wt: int = 512, interpret: bool = False,
+    maxerr: int = MAXERR, pack: int = 2,
 ):
-    """Packed-pair BPM for k <= 16; same contract as approx_counts_pallas.
+    """SWAR-packed BPM; same contract as approx_counts_pallas.
 
-    ``ct`` counts *candidates* (must be even); the kernel runs ct//2 packed
-    words per tile.
+    ``pack`` candidates per uint32 word: 2 (k <= 16) or 4 (k <= 8 and
+    k + m <= 127, the 8-bit score-field bound).  ``ct`` counts *candidates*
+    (must be a multiple of ``pack``); the kernel runs ct//pack packed words
+    per tile.
     """
-    assert k <= 16, k
+    assert pack in (2, 4), pack
+    assert k <= 32 // pack, (k, pack)
     C = peq.shape[0]
     m, W = windows_t.shape
-    assert C % ct == 0 and W % wt == 0 and ct % 2 == 0, (C, ct, W, wt)
+    assert C % ct == 0 and W % wt == 0 and ct % pack == 0, (C, ct, W, wt)
     if m % 8:  # pad text to the kernel's 8-row group size (symbol 5)
         windows_t = jnp.pad(windows_t, ((0, 8 - m % 8), (0, 0)),
                             constant_values=np.uint8(5))
         m = windows_t.shape[0]
-    # interleave-pack: word i = candidates (2i, 2i+1)
-    peq2 = peq[0::2] | (peq[1::2] << np.uint32(16))  # [C/2, 4]
-    C2, ct2 = C // 2, ct // 2
-    grid = (C2 // ct2, W // wt)
+    if pack == 4:
+        assert k + m <= 127, (k, m)  # 8-bit score fields must not overflow
+    fw = 32 // pack
+    # interleave-pack: word i = candidates (pack*i .. pack*i + pack-1)
+    peqp = peq[0::pack].astype(jnp.uint32)
+    for f in range(1, pack):
+        peqp = peqp | (peq[f::pack].astype(jnp.uint32) << np.uint32(fw * f))
+    Cp, ctp = C // pack, ct // pack
+    grid = (Cp // ctp, W // wt)
 
     wvalid = window_valid.astype(jnp.int32).reshape(1, W)
 
     out = pl.pallas_call(
-        functools.partial(_bpm_kernel_packed, k=k, m=m, maxerr=maxerr),
-        out_shape=jax.ShapeDtypeStruct((C2, 2), jnp.int32),
+        functools.partial(_bpm_kernel_packed, k=k, m=m, maxerr=maxerr,
+                          pack=pack),
+        out_shape=jax.ShapeDtypeStruct((Cp, pack), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ct2, 4), lambda ci, wi: (ci, 0),
+            pl.BlockSpec((ctp, 4), lambda ci, wi: (ci, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m, wt), lambda ci, wi: (0, wi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, wt), lambda ci, wi: (0, wi),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ct2, 2), lambda ci, wi: (ci, 0),
+        out_specs=pl.BlockSpec((ctp, pack), lambda ci, wi: (ci, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=21 * C * W * m, bytes_accessed=C * 16 + m * W + 8 * C,
+            flops=(24 // pack + 9) * C * W * m,
+            bytes_accessed=C * 16 + m * W + 8 * C,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(peq2.astype(jnp.uint32), windows_t, wvalid)
-    return out.reshape(C)  # rows (A, B) interleave back to candidate order
+    )(peqp, windows_t, wvalid)
+    return out.reshape(C)  # fields interleave back to candidate order
 
 
 def approx_counts(peq, windows_t, window_valid, k: int, maxerr: int = MAXERR,
-                  **kw):
-    """Dispatch: packed Pallas for k <= 16 on TPU, plain Pallas for k > 16,
-    jnp elsewhere (CPU tests)."""
-    on_tpu = jax.default_backend() not in ("cpu",)
+                  use_pallas: bool | None = None, **kw):
+    """Dispatch: SWAR-packed Pallas on TPU (4 candidates/word for k <= 8
+    when the 8-bit score bound allows, else 2/word for k <= 16), plain
+    Pallas for k > 16, jnp elsewhere (CPU tests)."""
+    on_tpu = (jax.default_backend() not in ("cpu",)
+              if use_pallas is None else use_pallas)
     if on_tpu and k <= 16:
+        m = windows_t.shape[0]
+        m_pad = m + (-m) % 8
+        pack = 4 if (k <= 8 and k + m_pad <= 127
+                     and kw.get("ct", 32) % 4 == 0) else 2
         return approx_counts_pallas_packed(
-            peq, windows_t, window_valid, k, maxerr=maxerr, **kw
+            peq, windows_t, window_valid, k, maxerr=maxerr, pack=pack, **kw
         )
     if on_tpu:
         return approx_counts_pallas(

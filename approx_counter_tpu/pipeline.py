@@ -36,7 +36,7 @@ from approx_counter_tpu.params import Params
 from approx_counter_tpu.sample.sampler import sample_windows
 
 #: Kernel tile sizes (candidates x windows); see kernels/bpm.py layout notes.
-CT, WT = 256, 512
+CT, WT = 32, 512  # tile sweep on v5e: ct=32,wt=512 best (native/sweep_tiles.py)
 
 
 def _round_up(x: int, m: int) -> int:

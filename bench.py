@@ -77,7 +77,7 @@ def bench_tpu() -> float:
     def run(i):
         wt = wts[i % NBUF]
         if use_pallas:
-            return approx_counts_pallas_packed(peq, wt, wv, K, ct=256, wt=512)
+            return approx_counts_pallas_packed(peq, wt, wv, K, ct=32, wt=512)
         return approx_counts_jnp(peq, wt, wv, K)
 
     t0 = time.perf_counter()

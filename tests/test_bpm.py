@@ -203,3 +203,52 @@ class TestBpmPacked:
             )
         )
         np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("k", [2, 5, 8])
+    @pytest.mark.parametrize("maxerr", [1, 2])
+    def test_quad_interpret_matches_jnp(self, k, maxerr, rng):
+        """pack=4 (8-bit SWAR fields, k <= 8) vs the jnp reference."""
+        from approx_counter_tpu.kernels.bpm import approx_counts_pallas_packed
+
+        C, W, m = 8, 128, 40
+        pats = _random_patterns(rng, C, k)
+        wins = rng.integers(0, 5, (W, m)).astype(np.uint8)
+        for w in range(0, W, 4):
+            pos = rng.integers(0, m - k + 1)
+            wins[w, pos : pos + k] = pats[w % C]
+        valid = np.ones(W, bool)
+        valid[-7:] = False
+        hi, lo = split_code(_codes(pats))
+        peq = build_peq(hi, lo, k)
+        want = np.asarray(
+            approx_counts_jnp(peq, wins.T.copy(), valid, k, maxerr=maxerr)
+        )
+        got = np.asarray(
+            approx_counts_pallas_packed(
+                peq, wins.T.copy(), valid, k, ct=8, wt=128,
+                interpret=True, maxerr=maxerr, pack=4,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_quad_near_score_field_bound(self, rng):
+        """k + m just under the 8-bit score-field limit (k+m <= 127)."""
+        from approx_counter_tpu.kernels.bpm import approx_counts_pallas_packed
+
+        k, C, W = 8, 4, 128
+        m = 112  # padded m stays 112 (mult of 8); k + m = 120 <= 127
+        pats = _random_patterns(rng, C, k)
+        # all-mismatch windows drive the running score to its k+j maximum
+        wins = np.full((W, m), 4, np.uint8)
+        wins[0, 50 : 50 + k] = pats[0]
+        valid = np.ones(W, bool)
+        hi, lo = split_code(_codes(pats))
+        peq = build_peq(hi, lo, k)
+        want = np.asarray(approx_counts_jnp(peq, wins.T.copy(), valid, k))
+        got = np.asarray(
+            approx_counts_pallas_packed(
+                peq, wins.T.copy(), valid, k, ct=4, wt=128,
+                interpret=True, pack=4,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
