@@ -91,18 +91,22 @@ def exact_count_select_rows(
     # --- 1. vectorized packing sweep --------------------------------------
     hi = jnp.zeros((n, p), jnp.uint32)
     lo = jnp.zeros((n, p), jnp.uint32)
-    bad = jnp.zeros((n, p), jnp.bool_)
+    has_n = jnp.zeros((n, p), jnp.bool_)    # contains an N base (symbol 4)
+    has_pad = jnp.zeros((n, p), jnp.bool_)  # touches padding (symbol >= 5)
     for j in range(k):
         sym = jax.lax.slice_in_dim(windows, j, j + p, axis=1)
-        bad = bad | (sym >= 4)
+        has_n = has_n | (sym == 4)
+        has_pad = has_pad | (sym >= 5)
         sym32 = sym.astype(jnp.uint32)
         if k > 16:  # hi word is identically zero otherwise
             hi = (hi << np.uint32(2)) | (lo >> np.uint32(30))
         lo = (lo << np.uint32(2)) | sym32
     row_valid = jnp.broadcast_to(row_mask[:, None], (n, p))
-    valid = (~bad) & row_valid
+    valid = ~(has_n | has_pad) & row_valid
     # N-containing k-mers in real windows (ref had_n tally :513-517).
-    had_n = jnp.sum((bad & row_valid).astype(jnp.int32))
+    # Positions touching padding are not real sliding positions (the batch
+    # carries one inert pad column on start windows) and never tally.
+    had_n = jnp.sum((has_n & ~has_pad & row_valid).astype(jnp.int32))
 
     P = n * p
     hi = hi.reshape(P)

@@ -38,8 +38,11 @@ class _Reservoir:
     n_seen: int = 0
 
     def __post_init__(self):
-        width = self.sl + 1 if self.end else self.sl
-        self.windows = np.empty((self.sn, width), dtype=np.uint8)
+        # unified sl+1 width: start rows end in one BASE_PAD column so both
+        # ends share one compiled shape (sample/sampler.py module doc)
+        self.ncols = self.sl + 1 if self.end else self.sl
+        self.windows = np.full((self.sn, self.sl + 1), BASE_PAD,
+                               dtype=np.uint8)
 
     def offer(self, seq: np.ndarray) -> None:
         """Offer one *eligible* read (len >= 2*sl already checked)."""
@@ -48,11 +51,11 @@ class _Reservoir:
         else:
             win = seq[: self.sl]
         if self.n_seen < self.sn:
-            self.windows[self.n_seen] = win
+            self.windows[self.n_seen, : self.ncols] = win
         else:
             j = int(self.rng.integers(0, self.n_seen + 1))
             if j < self.sn:
-                self.windows[j] = win
+                self.windows[j, : self.ncols] = win
         self.n_seen += 1
 
     def batch(self, pad_to: int = 8) -> WindowBatch:

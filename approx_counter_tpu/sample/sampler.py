@@ -12,10 +12,16 @@ Mirrors ``sampleSequences`` (/root/reference/approx_counter.cpp:415-476):
   * stop at ``sn`` samples or exhaustion
 
 Because eligibility already guarantees ``len >= 2*sl``, every window in a
-batch has the same length (sl or sl+1) -- the batch is a dense
-``[n_pad, width]`` uint8 array.  Rows beyond the real sample count are filled
-with ``BASE_PAD`` and masked out downstream, so device shapes stay static
-(padded to a multiple of ``pad_to``).
+batch has the same real length (sl for start, sl+1 for end) -- the batch is
+a dense ``[n_pad, sl+1]`` uint8 array: **both ends share the sl+1 width**,
+start windows carrying one trailing ``BASE_PAD`` column.  Pad symbols are
+inert in both counting stages (they invalidate any k-mer position touching
+them and cannot lower an edit distance), so this changes no counts -- but it
+means the start and end passes run the *same compiled executables*, halving
+cold-start compile count (remote TPU compiles are minutes-slow on this
+stack).  Rows beyond the real sample count are filled with ``BASE_PAD`` and
+masked out downstream, so device shapes stay static (padded to a multiple
+of ``pad_to``).
 """
 
 from __future__ import annotations
@@ -32,7 +38,7 @@ from approx_counter_tpu.io.fastx import Reads
 class WindowBatch:
     """Dense sampled-window batch: ``windows[i]`` valid iff ``i < n_valid``."""
 
-    windows: np.ndarray  # uint8 [n_pad, width], width = sl (start) or sl+1 (end)
+    windows: np.ndarray  # uint8 [n_pad, sl+1]; start rows end in one pad col
     n_valid: int
 
     @property
@@ -63,7 +69,8 @@ def sample_windows(
             rng = np.random.default_rng()  # OS entropy, like the reference
         order = rng.permutation(n_reads)
     lengths = reads.lengths
-    width = sl + 1 if end else sl
+    width = sl + 1          # unified batch width (module docstring)
+    ncols = sl + 1 if end else sl  # real bases per window
 
     # Eligibility (:461) preserved in shuffled order, truncated to sn.
     eligible = order[lengths[order] >= 2 * sl]
@@ -79,6 +86,6 @@ def sample_windows(
         starts = offs[chosen]
     # Gather all windows in one vectorized indexing op.
     if n_valid:
-        idx = starts[:, None] + np.arange(width)[None, :]
-        windows[:n_valid] = reads.buf[idx]
+        idx = starts[:, None] + np.arange(ncols)[None, :]
+        windows[:n_valid, :ncols] = reads.buf[idx]
     return WindowBatch(windows=windows, n_valid=n_valid)

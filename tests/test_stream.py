@@ -47,12 +47,16 @@ class TestStreamSampling:
         eligible = [s for s in seqs if len(s) >= 2 * sl]
         assert b_start.n_valid == len(eligible)
         assert b_end.n_valid == len(eligible)
-        assert b_start.width == sl
-        assert b_end.width == sl + 1  # off-by-one quirk preserved
+        # unified sl+1 batch width; start rows carry one inert pad column,
+        # end rows are sl+1 real bases (off-by-one quirk preserved)
+        assert b_start.width == sl + 1
+        assert b_end.width == sl + 1
+        assert (b_start.windows[: b_start.n_valid, sl] >= 5).all()
         # identity sampling: the window sets must match exactly
         want_starts = sorted(s[:sl] for s in eligible)
         got_starts = sorted(
-            codes_to_seq(b_start.windows[i]) for i in range(b_start.n_valid)
+            codes_to_seq(b_start.windows[i, :sl])
+            for i in range(b_start.n_valid)
         )
         assert got_starts == want_starts
         want_ends = sorted(s[len(s) - 1 - sl :] for s in eligible)
