@@ -53,8 +53,7 @@ def approx_count_rank(
     windows_t = jnp.transpose(windows, (1, 0))  # [m, W]
     counts = approx_counts(
         peq, windows_t, window_valid, k, maxerr=maxerr,
-        use_pallas=use_pallas,
-        **(dict(ct=ct, wt=wt, interpret=interpret) if use_pallas else {}),
+        use_pallas=use_pallas, ct=ct, wt=wt, interpret=interpret,
     )
 
     return rank_with_zero_counts(sel_hi, sel_lo, counts, sel_valid, k)

@@ -65,8 +65,7 @@ def approx_counts_sharded(
     def shard_fn(peq_rep, wt_shard, wv_shard):
         counts = approx_counts(
             peq_rep, wt_shard, wv_shard, k, maxerr=maxerr,
-            use_pallas=use_pallas,
-            **(dict(ct=ct, wt=wt, interpret=interpret) if use_pallas else {}),
+            use_pallas=use_pallas, ct=ct, wt=wt, interpret=interpret,
         )
         return jax.lax.psum(counts, axis)
 

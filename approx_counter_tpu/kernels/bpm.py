@@ -277,9 +277,11 @@ def approx_counts_pallas(
 # that would leak between fields.  All pack scores share one packed int32
 # counter: the +-1 deltas address each field's bit 0 via a replicated-ones
 # mask, and per-field borrows cannot occur because a Myers score is a
-# distance and never goes negative.  Score fields must not overflow:
-# score_j <= k + j <= k + m, so pack=4 requires k + m <= 127 (the wrapper
-# falls back to pack=2 otherwise; pack=2's 16-bit bound is never binding).
+# distance and never goes negative.  Score fields cannot overflow either:
+# the tracked value is the exact semi-global distance D[k][j], and with a
+# free text start D[i][j] <= i <= k (every prefix of the pattern aligns to
+# the empty suffix ending at j in at most i edits), so a field only ever
+# holds values in [0, k] -- at most 16 in an 8-bit field.
 # ~18 (pack=2) / ~12 (pack=4) VPU ops per step per candidate vs ~30
 # unpacked.
 
@@ -380,10 +382,12 @@ def approx_counts_pallas_packed(
 ):
     """SWAR-packed BPM; same contract as approx_counts_pallas.
 
-    ``pack`` candidates per uint32 word: 2 (k <= 16) or 4 (k <= 8 and
-    k + m <= 127, the 8-bit score-field bound).  ``ct`` counts *candidates*
-    (must be a multiple of ``pack``); the kernel runs ct//pack packed words
-    per tile.
+    ``pack`` candidates per uint32 word: 2 (k <= 16) or 4 (k <= 8); the
+    score fields hold the semi-global distance, bounded by k, so any window
+    length is safe.  ``ct`` counts *candidates* (must be a multiple of
+    ``pack``); the kernel runs ct//pack packed words per tile.  Measured
+    optima (native/sweep_tiles.py): ct=32/wt=512 for pack=2 at k=16;
+    pack=4 peaks slightly higher at ct=64 when the candidate cap allows.
     """
     assert pack in (2, 4), pack
     assert k <= 32 // pack, (k, pack)
@@ -394,8 +398,6 @@ def approx_counts_pallas_packed(
         windows_t = jnp.pad(windows_t, ((0, 8 - m % 8), (0, 0)),
                             constant_values=np.uint8(5))
         m = windows_t.shape[0]
-    if pack == 4:
-        assert k + m <= 127, (k, m)  # 8-bit score fields must not overflow
     fw = 32 // pack
     # interleave-pack: word i = candidates (pack*i .. pack*i + pack-1)
     peqp = peq[0::pack].astype(jnp.uint32)
@@ -432,22 +434,22 @@ def approx_counts_pallas_packed(
 
 
 def approx_counts(peq, windows_t, window_valid, k: int, maxerr: int = MAXERR,
-                  use_pallas: bool | None = None, **kw):
-    """Dispatch: SWAR-packed Pallas on TPU (4 candidates/word for k <= 8
-    when the 8-bit score bound allows, else 2/word for k <= 16), plain
-    Pallas for k > 16, jnp elsewhere (CPU tests)."""
+                  use_pallas: bool | None = None, ct: int = 32, wt: int = 512,
+                  interpret: bool = False):
+    """Dispatch: SWAR-packed Pallas on TPU (4 candidates/word for k <= 8,
+    else 2/word for k <= 16), plain Pallas for k > 16, jnp elsewhere (CPU
+    tests; ct/wt/interpret are ignored on the jnp path)."""
     on_tpu = (jax.default_backend() not in ("cpu",)
               if use_pallas is None else use_pallas)
     if on_tpu and k <= 16:
-        m = windows_t.shape[0]
-        m_pad = m + (-m) % 8
-        pack = 4 if (k <= 8 and k + m_pad <= 127
-                     and kw.get("ct", 32) % 4 == 0) else 2
+        pack = 4 if (k <= 8 and ct % 4 == 0) else 2
         return approx_counts_pallas_packed(
-            peq, windows_t, window_valid, k, maxerr=maxerr, pack=pack, **kw
+            peq, windows_t, window_valid, k, maxerr=maxerr, pack=pack,
+            ct=ct, wt=wt, interpret=interpret,
         )
     if on_tpu:
         return approx_counts_pallas(
-            peq, windows_t, window_valid, k, maxerr=maxerr, **kw
+            peq, windows_t, window_valid, k, maxerr=maxerr,
+            ct=ct, wt=wt, interpret=interpret,
         )
     return approx_counts_jnp(peq, windows_t, window_valid, k, maxerr=maxerr)

@@ -35,16 +35,50 @@ def log(msg: str) -> None:
     sys.stderr.flush()
 
 
+def setup_cache() -> None:
+    """Enable the persistent XLA compile cache (remote compiles are
+    minutes-slow on this stack; repeat shapes become ~1s)."""
+    import jax
+
+    cache = os.path.expanduser("~/.cache/approx_counter_tpu/jax")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def time_chained(run, iters: int, trials: int = 3) -> float:
+    """Honest per-call device timing on this remote-execution stack:
+    ``run(i)`` must use a distinct input buffer per ``i`` (identical
+    (executable, inputs) pairs can be served from a result cache), outputs
+    are chained by addition so work cannot be elided, and a single
+    device->host fetch is the completion fence (block_until_ready returns
+    before remote execution finishes).  ``run(iters)`` warms compile on a
+    spare buffer.  Returns best-of-``trials`` seconds per call."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    np.asarray(run(iters))  # compile + claim on the spare buffer only
+    log(f"first call (compile+claim): {time.perf_counter() - t0:.1f}s")
+    best = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(iters):
+            o = run(i)
+            acc = o if acc is None else acc + o
+        np.asarray(acc)
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def bench_tpu() -> float:
     os.environ.setdefault("PYTHONPATH", "")
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    cache = os.path.expanduser("~/.cache/approx_counter_tpu/jax")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    setup_cache()
 
     from approx_counter_tpu.kernels.bpm import (
         approx_counts_jnp,
@@ -80,26 +114,7 @@ def bench_tpu() -> float:
             return approx_counts_pallas_packed(peq, wt, wv, K, ct=32, wt=512)
         return approx_counts_jnp(peq, wt, wv, K)
 
-    t0 = time.perf_counter()
-    np.asarray(run(ITERS))  # warm the executable on the spare buffer only
-    log(f"first call (compile+claim): {time.perf_counter() - t0:.1f}s")
-
-    # Honest timing on this remote-execution stack requires (a) distinct
-    # input buffers, (b) a device->host fetch as the completion fence
-    # (block_until_ready returns before remote execution finishes), and
-    # (c) amortizing the ~30-50 ms tunnel round-trip over many calls:
-    # issue ITERS chained-by-addition calls, fetch once.
-    best = None
-    for _trial in range(3):
-        t0 = time.perf_counter()
-        acc = None
-        for i in range(ITERS):
-            o = run(i)
-            acc = o if acc is None else acc + o
-        np.asarray(acc)
-        dt = (time.perf_counter() - t0) / ITERS
-        best = dt if best is None else min(best, dt)
-    dt = best
+    dt = time_chained(run, ITERS)
     pairs_per_s = C * W / dt
     log(
         f"kernel: {dt * 1e3:.2f} ms/iter, {pairs_per_s / 1e9:.2f} Gpairs/s, "

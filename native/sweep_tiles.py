@@ -1,24 +1,24 @@
-"""One-off: sweep Pallas BPM tile sizes on the real chip.
+"""Tile-size sweep for the Pallas BPM kernels on the real chip.
 
-Batched per CLAUDE.md hazards: distinct input buffers per call, outputs
-chained by addition, one fetch per timing, persistent compile cache.
+Reuses bench.py's measurement scaffold (persistent compile cache, distinct
+input buffers per call, chained-by-addition outputs, single fetch fence --
+the CLAUDE.md honest-timing rules).  The shipped defaults (ct=32, wt=512
+for the packed kernel) come from this sweep.
 Usage: python native/sweep_tiles.py
 """
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
+from bench import log, setup_cache, time_chained  # noqa: E402
 
-cache = os.path.expanduser("~/.cache/approx_counter_tpu/jax")
-os.makedirs(cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+setup_cache()
 
 from approx_counter_tpu.kernels.bpm import (  # noqa: E402
     approx_counts_pallas,
@@ -42,11 +42,12 @@ wts = [
 wv = jax.device_put(jnp.ones(W, bool))
 
 configs = []
-for ct in (128, 256, 512):
-    for wt in (256, 512, 1024, 2048):
+for ct in (16, 32, 64, 128, 256):
+    for wt in (256, 512, 1024):
         if C % ct == 0 and W % wt == 0:
             configs.append(("packed", ct, wt))
-configs.append(("unpacked", 256, 512))  # current non-packed reference point
+configs.append(("unpacked", 32, 512))   # shipped unpacked default
+configs.append(("unpacked", 128, 256))  # measured unpacked optimum (k=18)
 
 results = []
 for name, ct, wt in configs:
@@ -57,26 +58,14 @@ for name, ct, wt in configs:
         return fn(peq, wts[i % NBUF], wv, K, ct=ct, wt=wt)
 
     try:
-        t0 = time.perf_counter()
-        np.asarray(run(ITERS))
-        compile_s = time.perf_counter() - t0
-        best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            acc = None
-            for i in range(ITERS):
-                o = run(i)
-                acc = o if acc is None else acc + o
-            np.asarray(acc)
-            dt = (time.perf_counter() - t0) / ITERS
-            best = dt if best is None else min(best, dt)
+        best = time_chained(run, ITERS)
         gpairs = C * W / best / 1e9
-        print(f"{name} ct={ct} wt={wt}: {best*1e3:.2f} ms "
-              f"{gpairs:.2f} Gpairs/s (compile {compile_s:.0f}s)", flush=True)
+        log(f"{name} ct={ct} wt={wt}: {best*1e3:.2f} ms "
+            f"{gpairs:.2f} Gpairs/s")
         results.append((gpairs, name, ct, wt))
     except Exception as e:  # noqa: BLE001
-        print(f"{name} ct={ct} wt={wt}: FAILED {type(e).__name__}: "
-              f"{str(e)[:200]}", flush=True)
+        log(f"{name} ct={ct} wt={wt}: FAILED {type(e).__name__}: "
+            f"{str(e)[:200]}")
 
 results.sort(reverse=True)
-print("BEST:", results[:3])
+log(f"BEST: {results[:3]}")

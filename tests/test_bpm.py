@@ -231,16 +231,18 @@ class TestBpmPacked:
         )
         np.testing.assert_array_equal(got, want)
 
-    def test_quad_near_score_field_bound(self, rng):
-        """k + m just under the 8-bit score-field limit (k+m <= 127)."""
+    def test_quad_long_windows(self, rng):
+        """pack=4 on windows much longer than 128 bases: the 8-bit score
+        fields hold the semi-global distance, which is bounded by k (free
+        text start: D[i][j] <= i), so window length never overflows them."""
         from approx_counter_tpu.kernels.bpm import approx_counts_pallas_packed
 
-        k, C, W = 8, 4, 128
-        m = 112  # padded m stays 112 (mult of 8); k + m = 120 <= 127
+        k, C, W, m = 8, 4, 128, 360
         pats = _random_patterns(rng, C, k)
-        # all-mismatch windows drive the running score to its k+j maximum
-        wins = np.full((W, m), 4, np.uint8)
-        wins[0, 50 : 50 + k] = pats[0]
+        wins = rng.integers(0, 5, (W, m)).astype(np.uint8)
+        for w in range(0, W, 3):  # plant hits deep into the window
+            pos = rng.integers(0, m - k + 1)
+            wins[w, pos : pos + k] = pats[w % C]
         valid = np.ones(W, bool)
         hi, lo = split_code(_codes(pats))
         peq = build_peq(hi, lo, k)
