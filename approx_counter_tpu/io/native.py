@@ -41,6 +41,11 @@ def _load():
     lib.fastx_offsets.restype = ctypes.POINTER(ctypes.c_int64)
     lib.fastx_offsets.argtypes = [ctypes.c_void_p]
     lib.fastx_free.argtypes = [ctypes.c_void_p]
+    lib.fastx_parse_chunk.restype = ctypes.c_void_p
+    lib.fastx_parse_chunk.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_char_p),
+    ]
     _LIB = lib
     return lib
 
@@ -70,3 +75,38 @@ def read_fastx_native(path: str) -> Reads:
     finally:
         lib.fastx_free(h)
     return Reads(buf=buf, offsets=offsets)
+
+
+def parse_chunk_native(
+    data: bytes, is_final: bool
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Parse the complete records in ``data`` -> (buf, offsets, consumed).
+
+    ``buf`` holds the records' bases as ordinals, ``offsets`` is
+    [n_records + 1] boundaries into it, ``consumed`` is how many input
+    bytes were used (a trailing partial record is left for the caller to
+    carry into the next chunk).  With ``is_final`` the tail is resolved
+    with the streaming iterators' EOF semantics (io/stream.py)."""
+    lib = _load()
+    err = ctypes.c_char_p()
+    consumed = ctypes.c_int64()
+    h = lib.fastx_parse_chunk(
+        data, len(data), 1 if is_final else 0,
+        ctypes.byref(consumed), ctypes.byref(err),
+    )
+    if not h:
+        raise ValueError(err.value.decode() if err.value else "parse failed")
+    try:
+        n = lib.fastx_n_reads(h)
+        total = lib.fastx_total_bases(h)
+        buf = np.frombuffer(
+            bytearray(ctypes.string_at(lib.fastx_buf(h), total)),
+            dtype=np.uint8,
+        )
+        offsets = np.frombuffer(
+            bytearray(ctypes.string_at(lib.fastx_offsets(h), 8 * (n + 1))),
+            dtype=np.int64,
+        )
+    finally:
+        lib.fastx_free(h)
+    return buf, offsets, int(consumed.value)

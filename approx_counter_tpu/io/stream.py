@@ -124,6 +124,28 @@ def _iter_fastq(f, chunk_size):
         yield buf.rstrip(b"\r")
 
 
+def _iter_native(f, chunk_size):
+    """Yield per-record uint8 *ordinal* arrays via the native chunk parser
+    (record scanning + char translation in C++; ~GB/s vs ~30 MB/s for the
+    pure-Python line iterators).  Identical record sequence to the Python
+    iterators on well-formed inputs (differentially tested)."""
+    from approx_counter_tpu.io.native import parse_chunk_native
+
+    carry = b""
+    while True:
+        chunk = f.read(chunk_size)
+        final = not chunk
+        data = carry + chunk if carry else chunk
+        if not data:
+            return
+        buf, offsets, consumed = parse_chunk_native(data, final)
+        for i in range(len(offsets) - 1):
+            yield buf[offsets[i] : offsets[i + 1]]
+        if final:
+            return
+        carry = data[consumed:]
+
+
 def stream_sample_windows(
     path: str | list[str],
     sn: int,
@@ -157,15 +179,25 @@ def stream_sample_windows(
             opener = gzip.open
         else:
             opener = open
+        use_native = opener is open
+        if use_native:
+            try:
+                from approx_counter_tpu.io.native import _load
+
+                _load()
+            except (ImportError, OSError):
+                use_native = False
         with opener(one, "rb") as f:
             first = f.read(1)
             f.seek(0)
-            if first == b">":
+            if not first:
+                it = iter(())
+            elif use_native and first in (b">", b"@"):
+                it = _iter_native(f, chunk_size)  # yields ordinal arrays
+            elif first == b">":
                 it = _iter_fasta(f, chunk_size)
             elif first == b"@":
                 it = _iter_fastq(f, chunk_size)
-            elif not first:
-                it = iter(())
             else:
                 raise ValueError(
                     "Unrecognized sequence file format (expected FASTA or "
@@ -175,8 +207,11 @@ def stream_sample_windows(
                 n_reads += 1
                 if len(raw) < 2 * sl:
                     continue  # eligibility, approx_counter.cpp:461
-                # bytes.translate, not numpy gather -- see io/fastx.py
-                seq = np.frombuffer(raw.translate(_TRANS), dtype=np.uint8)
+                if isinstance(raw, np.ndarray):
+                    seq = raw  # native path: already ordinals
+                else:
+                    # bytes.translate, not numpy gather -- see io/fastx.py
+                    seq = np.frombuffer(raw.translate(_TRANS), dtype=np.uint8)
                 r_start.offer(seq)
                 r_end.offer(seq)
     b_start = r_start.batch(pad_to)

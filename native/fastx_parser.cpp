@@ -133,6 +133,173 @@ bool parse_fastq(const char *data, size_t n, Handle *h, const char **err) {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Incremental (streaming) parsers: parse complete records from a chunk,
+// report consumed bytes so the caller can carry a trailing partial record
+// into the next chunk.  With is_final these match the *streaming* Python
+// iterators in io/stream.py (line-based FASTA record splits, partial
+// trailing records yielded/dropped exactly like _iter_fasta/_iter_fastq) --
+// note this differs from fastx_parse's bulk EOF quirks by design.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+static inline void emit_seq(const char *data, size_t s, size_t e, Handle *h) {
+    size_t old = h->buf.size();
+    h->buf.resize(old + (e - s));
+    uint8_t *dst = h->buf.data() + old;
+    const uint8_t *src = (const uint8_t *)data + s;
+    const uint8_t *tbl = kTable.t;
+    for (size_t j = 0; j < e - s; j++) dst[j] = tbl[src[j]];
+    h->offsets.push_back((int64_t)h->buf.size());
+}
+
+bool parse_fasta_inc(const char *data, size_t n, bool is_final, Handle *h,
+                     size_t *consumed, const char **err) {
+    size_t pos = 0;
+    *consumed = 0;
+    while (pos < n) {
+        if (data[pos] != '>') {
+            *err = "Malformed FASTA: expected '>' header";
+            return false;
+        }
+        const char *nl = (const char *)memchr(data + pos, '\n', n - pos);
+        if (!nl) {
+            // header without newline: incomplete; at EOF the streaming
+            // iterator drops it (it never became a record)
+            *consumed = is_final ? n : pos;
+            return true;
+        }
+        size_t seq_start = (size_t)(nl - data) + 1;
+        // next record starts at a '\n' immediately followed by '>' --
+        // line-based, like the Python streaming iterator
+        size_t search = seq_start;
+        size_t next_hdr = 0;
+        bool have_next = false;
+        while (search < n) {
+            const char *nl2 = (const char *)memchr(
+                data + search, '\n', n - search);
+            if (!nl2) break;
+            size_t cand = (size_t)(nl2 - data) + 1;
+            if (cand >= n) break;
+            if (data[cand] == '>') { next_hdr = cand; have_next = true; break; }
+            search = cand;
+        }
+        if (!have_next && !is_final) {
+            *consumed = pos;  // record may continue in the next chunk
+            return true;
+        }
+        size_t seq_end = have_next ? next_hdr : n;
+        append_seq_block(data, seq_start, seq_end, h);
+        h->offsets.push_back((int64_t)h->buf.size());
+        pos = seq_end;
+        *consumed = pos;
+    }
+    return true;
+}
+
+bool parse_fastq_inc(const char *data, size_t n, bool is_final, Handle *h,
+                     size_t *consumed, const char **err) {
+    size_t pos = 0;
+    *consumed = 0;
+    while (pos < n) {
+        size_t p0 = pos;
+        while (pos < n && (data[pos] == '\n' || data[pos] == '\r')) pos++;
+        if (pos >= n) { *consumed = n; return true; }
+        if (data[pos] != '@') {
+            *err = "Malformed FASTQ: expected '@' header";
+            return false;
+        }
+        const char *l1 = (const char *)memchr(data + pos, '\n', n - pos);
+        if (!l1) { *consumed = is_final ? n : p0; return true; }
+        size_t seq_start = (size_t)(l1 - data) + 1;
+        const char *l2 = (const char *)memchr(
+            data + seq_start, '\n', n - seq_start);
+        if (!l2) {
+            if (!is_final) { *consumed = p0; return true; }
+            // EOF mid-sequence-line: streaming iterator yields the partial
+            size_t e = n;
+            while (e > seq_start && data[e - 1] == '\r') e--;
+            if (e > seq_start) emit_seq(data, seq_start, e, h);
+            *consumed = n;
+            return true;
+        }
+        size_t seq_end = (size_t)(l2 - data);
+        size_t e = seq_end;
+        while (e > seq_start && data[e - 1] == '\r') e--;
+        size_t plus = seq_end + 1;
+        if (plus >= n) {
+            if (!is_final) { *consumed = p0; return true; }
+            emit_seq(data, seq_start, e, h);  // seq line completed -> yield
+            *consumed = n;
+            return true;
+        }
+        const char *l3 = (const char *)memchr(data + plus, '\n', n - plus);
+        {
+            // '+' separator is only validated once its line is complete
+            size_t sep_end = l3 ? (size_t)(l3 - data) : n;
+            size_t se = sep_end;
+            while (se > plus && data[se - 1] == '\r') se--;
+            bool sep_complete = l3 != nullptr;
+            bool sep_ok = (se > plus) && data[plus] == '+';
+            if (sep_complete && !sep_ok) {
+                *err = "Malformed FASTQ: expected '+' separator";
+                return false;
+            }
+            if (!sep_complete) {
+                if (!is_final) { *consumed = p0; return true; }
+                emit_seq(data, seq_start, e, h);
+                *consumed = n;
+                return true;
+            }
+        }
+        size_t q_start = (size_t)(l3 - data) + 1;
+        const char *l4 = (const char *)memchr(
+            data + q_start, '\n', n - q_start);
+        if (!l4) {
+            if (!is_final) { *consumed = p0; return true; }
+            emit_seq(data, seq_start, e, h);
+            *consumed = n;
+            return true;
+        }
+        emit_seq(data, seq_start, e, h);
+        pos = (size_t)(l4 - data) + 1;
+        *consumed = pos;
+    }
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse complete records from data[0..n); *consumed reports how many bytes
+// were used (a trailing partial record is left for the caller to carry).
+// With is_final != 0, EOF semantics match io/stream.py's Python iterators.
+Handle *fastx_parse_chunk(const char *data, int64_t n, int is_final,
+                          int64_t *consumed, const char **err) {
+    *err = nullptr;
+    *consumed = 0;
+    Handle *h = new Handle();
+    h->offsets.push_back(0);
+    if (n <= 0) return h;
+    size_t used = 0;
+    bool ok;
+    if (data[0] == '>') {
+        ok = parse_fasta_inc(data, (size_t)n, is_final != 0, h, &used, err);
+    } else if (data[0] == '@') {
+        ok = parse_fastq_inc(data, (size_t)n, is_final != 0, h, &used, err);
+    } else {
+        *err = "Unrecognized sequence file format";
+        ok = false;
+    }
+    if (!ok) { delete h; return nullptr; }
+    *consumed = (int64_t)used;
+    return h;
+}
+
+}  // extern "C"
+
 extern "C" {
 
 Handle *fastx_parse(const char *path, const char **err) {

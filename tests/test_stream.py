@@ -108,6 +108,86 @@ class TestStreamSampling:
             stream_sample_windows(str(p2), 5, 4)
 
 
+class TestNativeStreamScanner:
+    """The C++ chunk parser must yield the same record sequence as the
+    Python line iterators, across chunk boundaries (including 1-byte
+    chunks) and EOF edge cases."""
+
+    def _native_available(self):
+        try:
+            from approx_counter_tpu.io.native import _load
+
+            _load()
+            return True
+        except (ImportError, OSError):
+            return False
+
+    @pytest.mark.parametrize("cs", [1, 3, 17, 4096])
+    def test_differential_vs_python_iterators(self, cs):
+        import io as _io
+
+        from approx_counter_tpu.io.fastx import _TRANS
+        from approx_counter_tpu.io.stream import (
+            _iter_fasta,
+            _iter_fastq,
+            _iter_native,
+        )
+
+        if not self._native_available():
+            pytest.skip("native parser not built")
+        cases = [
+            # FASTA: wraps, lowercase, blank line, trailing no-newline
+            (b">r0\nACGT\nTTNN\n>r1\nacgt\n\n>r2\nGG", False),
+            # FASTQ: CRLF, '+' with tag, final record w/ truncated quality
+            (b"@a\nACGT\n+\nIIII\n@b\r\nTTTT\r\n+x\r\nJJJJ\r\n"
+             b"@c\nGGGG\n+\nII", True),
+        ]
+        rng = np.random.default_rng(0)
+        parts = []
+        for i in range(200):
+            s = bytes(rng.choice(list(b"ACGTN"), int(rng.integers(1, 200))))
+            parts.append(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
+        cases.append((b"".join(parts), True))
+        for data, fq in cases:
+            it = (_iter_fastq if fq else _iter_fasta)(_io.BytesIO(data), cs)
+            want = [r.translate(_TRANS) for r in it]
+            got = [
+                r.tobytes()
+                for r in _iter_native(_io.BytesIO(data), cs)
+            ]
+            assert got == want, (data[:40], cs)
+
+    def test_stream_batches_identical_to_python_path(self, tmp_path, rng):
+        """Same seed => the reservoir sees the identical record stream, so
+        the sampled batches must match element-for-element."""
+        import approx_counter_tpu.io.native as native_mod
+
+        if not self._native_available():
+            pytest.skip("native parser not built")
+        sl = 10
+        seqs = [
+            codes_to_seq(rng.integers(0, 4, int(rng.integers(2 * sl, 80))))
+            for _ in range(300)
+        ]
+        p = tmp_path / "x.fastq"
+        _write_fastq(str(p), seqs)
+        n_b = stream_sample_windows(str(p), 50, sl,
+                                    rng=np.random.default_rng(3))
+        orig = native_mod._load
+        native_mod._load = lambda: (_ for _ in ()).throw(ImportError("off"))
+        try:
+            p_b = stream_sample_windows(str(p), 50, sl,
+                                        rng=np.random.default_rng(3))
+        finally:
+            native_mod._load = orig
+        for a, b in zip(n_b, p_b):
+            if isinstance(a, int):
+                assert a == b
+            else:
+                np.testing.assert_array_equal(a.windows, b.windows)
+                assert a.n_valid == b.n_valid
+
+
 class TestStreamPipeline:
     def test_stream_equals_inmemory_identity(self, tmp_path, rng):
         # With sn >= reads, both paths see every eligible read; counting is
