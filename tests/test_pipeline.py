@@ -104,6 +104,48 @@ def test_end_to_end_byte_parity(fasta, tmp_path, capsys):
     assert "Number of kept kmer:   15" in echo
 
 
+@pytest.mark.parametrize(
+    "k,sl,limit,param_lc,solid_km,seed",
+    [
+        (2, 8, 6, 1.0, 0, 11),     # k=2: NaN LC quirk, tiny alphabet
+        (5, 14, 12, 0.5, 0, 12),   # aggressive LC filter
+        (11, 22, 20, 2.0, 0, 13),  # lax LC filter
+        (16, 16, 10, 1.0, 0, 14),  # k == sl (one position per start row)
+        (7, 18, 25, 1.0, 2, 15),   # solid mode
+        (17, 20, 10, 1.0, 0, 16),  # k > 16: two-word codes / k3 sort key
+    ],
+)
+def test_randomized_config_byte_parity(tmp_path, k, sl, limit, param_lc,
+                                       solid_km, seed):
+    """Full-pipeline byte parity vs the oracle across randomized configs
+    (identity sampling); sweeps the LC threshold, solid mode, k==sl, and
+    both sides of the k<=16 code-width specialization."""
+    rng = np.random.default_rng(seed)
+    n_reads, read_len = 12, max(2 * sl, 40)
+    reads = [
+        codes_to_seq(rng.integers(0, 4, read_len).astype(np.uint8))
+        for _ in range(n_reads)
+    ]
+    p = tmp_path / "r.fasta"
+    with open(p, "w") as f:
+        for i, s in enumerate(reads):
+            f.write(f">r{i}\n{s}\n")
+    out, exact = tmp_path / "o.txt", tmp_path / "e.txt"
+    prm = Params(
+        input_file=str(p), output=str(out), exact_out=str(exact),
+        k=k, sl=sl, sn=n_reads, limit=limit, param_lc=param_lc,
+        solid_km=solid_km, v=0, seed=3,
+    )
+    assert run_pipeline(prm) == 0
+    for end in (False, True):
+        suffix = "_0.end" if end else "_0.start"
+        want_exact, want_approx = oracle_outputs(
+            reads, k, sl, param_lc, limit, solid_km=solid_km, end=end
+        )
+        assert open(str(exact) + suffix).read() == want_exact, suffix
+        assert open(str(out) + suffix).read() == want_approx, suffix
+
+
 def test_solid_mode_and_skip_end(fasta, tmp_path):
     path, reads = fasta
     out = tmp_path / "out.txt"
