@@ -99,6 +99,16 @@ class Engine:
                 n_forbidden=len(self.forbidden),
                 use_solid=prm.solid_km > 0,
             )
+            dev_approx = None
+            if prm.solid_km <= 0:
+                # top-N mode: n_keep <= limit <= cap always holds, so chain
+                # the approx stage device-side *before* the host fetch --
+                # the (remote-tunnel) exact fetch then overlaps the BPM
+                # compute and one round-trip serialization disappears.
+                dev_approx = self._approx_dispatch(
+                    windows, n_valid, dev_out["sel_hi"], dev_out["sel_lo"],
+                    dev_out["sel_valid"], cap,
+                )
             # one batched host fetch -- each separate np.asarray pays a full
             # device round-trip (tens of ms through the remote tunnel)
             out = jax.device_get(dev_out)
@@ -114,36 +124,49 @@ class Engine:
             had_n=int(out["had_n"]),
         )
 
-        approx = self.approx_stage(
-            windows, n_valid, dev_out["sel_hi"], dev_out["sel_lo"],
-            dev_out["sel_valid"], cap,
-        )
+        if dev_approx is None:  # solid mode: dispatch after the cap settles
+            dev_approx = self._approx_dispatch(
+                windows, n_valid, dev_out["sel_hi"], dev_out["sel_lo"],
+                dev_out["sel_valid"], cap,
+            )
+        approx = self._approx_finish(dev_approx)
         exact_codes = join_code(out["sel_hi"][:n_keep], out["sel_lo"][:n_keep])
         exact_counts = sel_count[:n_keep].astype(np.uint64)
         return (exact_codes, exact_counts), approx, stats
 
-    def approx_stage(self, windows, n_valid, sel_hi, sel_lo, sel_valid, cap):
-        """BPM scoring + CompareCount re-rank -> (codes, counts) truncated
-        to limit (the final resize at approx_counter.cpp:923)."""
+    def _approx_dispatch(self, windows, n_valid, sel_hi, sel_lo, sel_valid,
+                         cap):
+        """Launch BPM scoring + CompareCount re-rank; returns device arrays
+        (async -- no host sync)."""
         prm = self.prm
-        a_hi, a_lo, a_cnt, a_val = jax.device_get(
-            approx_count_rank(
-                windows,
-                np.int32(n_valid),
-                sel_hi,
-                sel_lo,
-                sel_valid,
-                prm.k,
-                ct=min(CT, cap),
-                wt=WT,
-                use_pallas=self.use_pallas,
-                maxerr=prm.max_error,
-            )
+        return approx_count_rank(
+            windows,
+            np.int32(n_valid),
+            sel_hi,
+            sel_lo,
+            sel_valid,
+            prm.k,
+            ct=min(CT, cap),
+            wt=WT,
+            use_pallas=self.use_pallas,
+            maxerr=prm.max_error,
         )
-        n_approx = min(int(a_val.sum()), prm.limit)  # final resize(limit) :923
+
+    def _approx_finish(self, dev_approx):
+        """Fetch + truncate to limit (the final resize, :923)."""
+        a_hi, a_lo, a_cnt, a_val = jax.device_get(dev_approx)
+        n_approx = min(int(a_val.sum()), self.prm.limit)
         approx_codes = join_code(a_hi[:n_approx], a_lo[:n_approx])
         approx_counts = a_cnt[:n_approx].astype(np.uint64)
         return approx_codes, approx_counts
+
+    def approx_stage(self, windows, n_valid, sel_hi, sel_lo, sel_valid, cap):
+        """BPM scoring + CompareCount re-rank -> (codes, counts) truncated
+        to limit (resume-from-exact path)."""
+        return self._approx_finish(
+            self._approx_dispatch(windows, n_valid, sel_hi, sel_lo,
+                                  sel_valid, cap)
+        )
 
 
 def run_pipeline(prm: Params, log: Log | None = None) -> int:

@@ -155,3 +155,28 @@ class TestGzip:
         b, e, n = stream_sample_windows(str(p), 10, 5,
                                         rng=np.random.default_rng(0))
         assert n == 2 and b.n_valid == 2
+
+
+class TestProfiler:
+    def test_profile_flag_writes_trace(self, tmp_path):
+        """--profile wraps the run in jax.profiler.trace (SURVEY §5
+        tracing); the trace directory must contain profiler artifacts."""
+        import os
+        import subprocess
+        import sys
+
+        fa = tmp_path / "r.fasta"
+        fa.write_text(">r0\n" + "ACGT" * 20 + "\n>r1\n" + "TTGA" * 20 + "\n")
+        prof = tmp_path / "trace"
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, "-m", "approx_counter_tpu", str(fa),
+             "-o", str(tmp_path / "o.txt"), "-sn", "10", "-sl", "8",
+             "-k", "4", "--seed", "1", "--profile", str(prof)],
+            cwd="/root/repo", env=env, capture_output=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr.decode()[-1500:]
+        found = []
+        for root, _dirs, files in os.walk(prof):
+            found += files
+        assert found, "profiler trace directory is empty"
