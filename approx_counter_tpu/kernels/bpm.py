@@ -32,15 +32,17 @@ cost) and trailing padding can never lower d_min (monotonicity argument in
 SURVEY.md §3C / tests).
 
 Performance (TPU v5e, k=16, m=101/104, 512x40960 pairs): unpacked kernel
-~27 ms/call = 0.77 Gpairs/s; SWAR packed-pair kernel ~11.7 ms = 1.8 Gpairs/s
-= 0.19 Tcell/s at the swept-optimal tile (ct=32, wt=512 -- see
+~27 ms/call = 0.77 Gpairs/s; SWAR packed-pair Myers ~10.4 ms = 2.0 Gpairs/s
+= 0.20 Tcell/s at the swept-optimal tile (ct=32, wt=512 -- see
 native/sweep_tiles.py; large candidate tiles lose ~40%, likely VMEM-pressure
-induced scheduling).  Speed-of-light: ~35 VPU ops per packed DP step on
-(16, 512) u32 tiles = 64 vregs per op per 2 candidates; at ~4-5 vreg-ops/
-cycle multi-issue the packed kernel sits at the VPU ceiling.  Measured
-variants that did NOT help: pre-converted int32 windows (-5%), 2-bit mux Eq
-select (noise-level), unsigned score (Mosaic lacks minui).  pack=4 (8-bit
-fields, k <= 8) cuts per-candidate ops a further ~40% for small k.
+induced scheduling).  Speed-of-light: ~37 full-tile VPU ops per packed
+Myers DP step on (16, 512) u32 tiles; at ~4 vreg-ops/cycle multi-issue that
+is the VPU ceiling, so op count converts ~1:1 to throughput -- which is why
+the level-NFA kernel below (29 ops at maxerr=2, 21 at maxerr=1) measures
+2.3 / 3.0 Gpairs/s and is the default for maxerr <= 2.  Measured variants
+that did NOT help: pre-converted int32 windows (-5%), 2-bit mux Eq select
+(noise-level), unsigned score (Mosaic lacks minui).  pack=4 (8-bit fields,
+k <= 8) cuts per-candidate ops a further ~40% for small k.
 """
 
 from __future__ import annotations
@@ -372,25 +374,123 @@ def _bpm_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
         out_ref[:] = out_ref[:] + partial
 
 
+# ---------------------------------------------------------------------------
+# Level-NFA kernel (Wu-Manber/Baeza-Yates k-differences): one bitvector per
+# error level d, R_d bit i set iff P[0..i] matches a substring ending at the
+# current text position with <= d edits.  Update per text char c:
+#
+#   R'_0 = ((R_0 << 1) | ones) & Eq[c]
+#   R'_d = ((R_d << 1) & Eq[c]) | R_{d-1} | ((R_{d-1} | R'_{d-1}) << 1) | ones
+#          (match        | insertion | substitution/deletion       | restart)
+#
+# (Navarro 2001 survey form, search mode).  Levels nest (R'_{d-1} subset of
+# R'_d), so sticky high bits directly give "alignment with <= d errors seen",
+# and the per-window contribution is sum_d hit_d == max(0, (maxerr+1) -
+# d_min) with no score/min tracking and no carry-coupled SWAR add -- every
+# op is shift/and/or, so fields pack with no guard bits and inter-field
+# leaks are the same LEAK mask as the Myers kernel.  Per packed word per
+# step: ~29 VPU ops at maxerr=2 vs ~37 for packed Myers, ~21 at maxerr=1,
+# ~9 at maxerr=0 -- the kernel is VPU-bound (see module docstring), so op
+# count converts ~1:1 to throughput.  Initial state R_d(0) = (2^d - 1)
+# replicated per field (first d pattern chars deletable before any text);
+# h seeds from it so k <= maxerr degenerate cases count the empty-substring
+# alignment exactly like the Myers kernels (whose score init is k).
+# ---------------------------------------------------------------------------
+
+
+def _nfa_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
+                       m: int, maxerr: int, pack: int):
+    wi = pl.program_id(1)
+
+    peq_cols = tuple(peq_ref[:, b][:, None] for b in range(4))  # (Ctp,1) u32
+    Ctp = peq_ref.shape[0]
+    Wt = win_ref.shape[1]
+
+    fw = 32 // pack
+    ones = sum(1 << (fw * i) for i in range(pack))
+    ONES = np.uint32(ones)
+    LEAK = np.uint32((ones ^ 0xFFFFFFFF) & 0xFFFFFFFF)  # post-<<1 mask
+
+    R = tuple(
+        jnp.full((Ctp, Wt), np.uint32((((1 << d) - 1) * ones) & 0xFFFFFFFF),
+                 jnp.uint32)
+        for d in range(maxerr + 1)
+    )
+    h = R  # count empty-substring alignments when k <= d (see header note)
+
+    assert m % 8 == 0, m  # caller pads; see _bpm_kernel group-loading note
+
+    def step(c_row, carry):
+        R, h = carry
+        Eq = jnp.where(
+            c_row == 0, peq_cols[0],
+            jnp.where(c_row == 1, peq_cols[1],
+                      jnp.where(c_row == 2, peq_cols[2],
+                                jnp.where(c_row == 3, peq_cols[3],
+                                          jnp.uint32(0)))),
+        )
+        Rn = [(((R[0] << np.uint32(1)) & LEAK) | ONES) & Eq]
+        for d in range(1, maxerr + 1):
+            Rn.append(
+                (((R[d] << np.uint32(1)) & LEAK) & Eq)
+                | R[d - 1]
+                | (((R[d - 1] | Rn[d - 1]) << np.uint32(1)) & LEAK)
+                | ONES
+            )
+        return tuple(Rn), tuple(hh | rr for hh, rr in zip(h, Rn))
+
+    def group(g, carry):
+        base = pl.multiple_of(g * 8, 8)
+        rows = win_ref[pl.ds(base, 8), :].astype(jnp.int32)  # (8, Wt)
+        for i in range(8):
+            carry = step(rows[i, :][None, :], carry)
+        return carry
+
+    R, h = jax.lax.fori_loop(0, m // 8, group, (R, h))
+    wv = wvalid_ref[:].astype(jnp.int32)  # (1, Wt)
+    cols = []
+    for f in range(pack):
+        sh = np.uint32(fw * f + k - 1)
+        hits = sum(((hd >> sh) & np.uint32(1)).astype(jnp.int32) for hd in h)
+        cols.append(jnp.sum(hits * wv, axis=1, keepdims=True))
+    partial = jnp.concatenate(cols, axis=1)  # (Ctp, pack)
+
+    @pl.when(wi == 0)
+    def _():
+        out_ref[:] = partial
+
+    @pl.when(wi != 0)
+    def _():
+        out_ref[:] = out_ref[:] + partial
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "ct", "wt", "interpret", "maxerr", "pack")
+    jax.jit,
+    static_argnames=("k", "ct", "wt", "interpret", "maxerr", "pack", "algo"),
 )
 def approx_counts_pallas_packed(
     peq, windows_t, window_valid, k: int,
     ct: int = 32, wt: int = 512, interpret: bool = False,
-    maxerr: int = MAXERR, pack: int = 2,
+    maxerr: int = MAXERR, pack: int = 2, algo: str = "myers",
 ):
-    """SWAR-packed BPM; same contract as approx_counts_pallas.
+    """SWAR-packed kernels; same contract as approx_counts_pallas.
 
-    ``pack`` candidates per uint32 word: 2 (k <= 16) or 4 (k <= 8); the
-    score fields hold the semi-global distance, bounded by k, so any window
-    length is safe.  ``ct`` counts *candidates* (must be a multiple of
-    ``pack``); the kernel runs ct//pack packed words per tile.  Measured
-    optima (native/sweep_tiles.py): ct=32/wt=512 for pack=2 at k=16;
-    pack=4 peaks slightly higher at ct=64 when the candidate cap allows.
+    ``pack`` candidates per uint32 word: 1 (k <= 32), 2 (k <= 16) or
+    4 (k <= 8); the Myers score fields hold the semi-global distance,
+    bounded by k, so any window length is safe.  ``ct`` counts *candidates*
+    (must be a multiple of ``pack``); the kernel runs ct//pack packed words
+    per tile.  Measured optima (native/sweep_tiles.py): ct=32/wt=512 for
+    pack=2 at k=16; pack=4 peaks slightly higher at ct=64 when the
+    candidate cap allows.
+
+    ``algo``: "myers" (score-tracking BPM) or "nfa" (level-NFA, fewer VPU
+    ops for maxerr <= 2 -- see _nfa_kernel_packed header).
     """
-    assert pack in (2, 4), pack
+    assert pack in (1, 2, 4), pack
     assert k <= 32 // pack, (k, pack)
+    assert algo in ("myers", "nfa"), algo
+    assert algo == "nfa" or pack in (2, 4), (
+        "pack=1 Myers is approx_counts_pallas")
     C = peq.shape[0]
     m, W = windows_t.shape
     assert C % ct == 0 and W % wt == 0 and ct % pack == 0, (C, ct, W, wt)
@@ -408,9 +508,9 @@ def approx_counts_pallas_packed(
 
     wvalid = window_valid.astype(jnp.int32).reshape(1, W)
 
+    body = _nfa_kernel_packed if algo == "nfa" else _bpm_kernel_packed
     out = pl.pallas_call(
-        functools.partial(_bpm_kernel_packed, k=k, m=m, maxerr=maxerr,
-                          pack=pack),
+        functools.partial(body, k=k, m=m, maxerr=maxerr, pack=pack),
         out_shape=jax.ShapeDtypeStruct((Cp, pack), jnp.int32),
         grid=grid,
         in_specs=[
@@ -436,11 +536,22 @@ def approx_counts_pallas_packed(
 def approx_counts(peq, windows_t, window_valid, k: int, maxerr: int = MAXERR,
                   use_pallas: bool | None = None, ct: int = 32, wt: int = 512,
                   interpret: bool = False):
-    """Dispatch: SWAR-packed Pallas on TPU (4 candidates/word for k <= 8,
-    else 2/word for k <= 16), plain Pallas for k > 16, jnp elsewhere (CPU
-    tests; ct/wt/interpret are ignored on the jnp path)."""
+    """Dispatch to the fastest kernel for the configuration.
+
+    On TPU: the level-NFA kernel for maxerr <= 2 (fewer VPU ops than Myers
+    at low error bounds -- measured v5e, k=16 defaults: 2.3 vs 2.0 Gpairs/s
+    at maxerr=2, 3.0 vs 2.0 at maxerr=1), SWAR-packed Myers for maxerr == 3
+    and k <= 16, plain Myers otherwise; jnp elsewhere (CPU tests; ct/wt/
+    interpret are ignored on the jnp path).  Packing: 4 candidates/word for
+    k <= 8, 2 for k <= 16, 1 for k <= 32."""
     on_tpu = (jax.default_backend() not in ("cpu",)
               if use_pallas is None else use_pallas)
+    if on_tpu and maxerr <= 2:
+        pack = 4 if (k <= 8 and ct % 4 == 0) else (2 if k <= 16 else 1)
+        return approx_counts_pallas_packed(
+            peq, windows_t, window_valid, k, maxerr=maxerr, pack=pack,
+            ct=ct, wt=wt, interpret=interpret, algo="nfa",
+        )
     if on_tpu and k <= 16:
         pack = 4 if (k <= 8 and ct % 4 == 0) else 2
         return approx_counts_pallas_packed(

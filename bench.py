@@ -81,8 +81,7 @@ def bench_tpu() -> float:
     setup_cache()
 
     from approx_counter_tpu.kernels.bpm import (
-        approx_counts_jnp,
-        approx_counts_pallas_packed,
+        approx_counts,
         build_peq,
     )
 
@@ -110,9 +109,8 @@ def bench_tpu() -> float:
 
     def run(i):
         wt = wts[i % NBUF]
-        if use_pallas:
-            return approx_counts_pallas_packed(peq, wt, wv, K, ct=32, wt=512)
-        return approx_counts_jnp(peq, wt, wv, K)
+        return approx_counts(peq, wt, wv, K, use_pallas=use_pallas,
+                             ct=32, wt=512)
 
     dt = time_chained(run, ITERS)
     pairs_per_s = C * W / dt

