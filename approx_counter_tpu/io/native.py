@@ -46,8 +46,40 @@ def _load():
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_char_p),
     ]
+    lib.fastx_gather_windows.restype = None
+    lib.fastx_gather_windows.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
     _LIB = lib
     return lib
+
+
+def gather_windows_native(
+    buf: np.ndarray, starts: np.ndarray, ncols: int, out: np.ndarray
+) -> None:
+    """Row i of ``out[:, :ncols]`` <- ``buf[starts[i] : starts[i]+ncols]``.
+
+    Native memcpy-per-row replacement for numpy fancy-indexing (which
+    intermittently throttles ~100x on this host).  ``out`` must be C-
+    contiguous uint8; ``buf`` contiguous uint8; raises ImportError when the
+    library isn't built (callers fall back to numpy).
+    """
+    lib = _load()
+    assert out.flags.c_contiguous and out.dtype == np.uint8
+    assert buf.flags.c_contiguous and buf.dtype == np.uint8
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    n = len(starts)
+    if n == 0:
+        return
+    lib.fastx_gather_windows(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, ncols,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.strides[0],
+    )
 
 
 def read_fastx_native(path: str) -> Reads:

@@ -387,14 +387,25 @@ def _bpm_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
 # R'_d), so sticky high bits directly give "alignment with <= d errors seen",
 # and the per-window contribution is sum_d hit_d == max(0, (maxerr+1) -
 # d_min) with no score/min tracking and no carry-coupled SWAR add -- every
-# op is shift/and/or, so fields pack with no guard bits and inter-field
-# leaks are the same LEAK mask as the Myers kernel.  Per packed word per
-# step: ~29 VPU ops at maxerr=2 vs ~37 for packed Myers, ~21 at maxerr=1,
-# ~9 at maxerr=0 -- the kernel is VPU-bound (see module docstring), so op
-# count converts ~1:1 to throughput.  Initial state R_d(0) = (2^d - 1)
-# replicated per field (first d pattern chars deletable before any text);
-# h seeds from it so k <= maxerr degenerate cases count the empty-substring
-# alignment exactly like the Myers kernels (whose score init is k).
+# op is shift/and/or, so fields pack with no guard bits.
+#
+# Inter-field shift leaks need NO masking at all (unlike the Myers kernel's
+# LEAK mask): every left shift's landing spot -- bit 0 of the next field --
+# is value-forced by the recurrence itself.  Rn_0's bit 0 is (leak | ONES) &
+# Eq = Eq_0 (the true NFA value); Rn_1's bit 0 is forced to 1 by `| ONES`;
+# Rn_d (d >= 2) contains `| R_{d-1}` whose bit 0 is always 1 (every R_d,
+# d >= 1, is seeded/updated with `| ONES`), which also makes the explicit
+# `| ONES` redundant for d >= 2.  Within a field, bits k..fw-1 accumulate
+# garbage but shifts only move bits upward, so the tested bit k-1 depends
+# (by induction from the correct bit 0) on genuine transitions only.
+#
+# Per packed word per step: ~27 VPU ops at maxerr=2 vs ~37 for packed
+# Myers, ~20 at maxerr=1, ~10 at maxerr=0 -- the kernel is VPU-bound (see
+# module docstring), so op count converts ~1:1 to throughput.  Initial
+# state R_d(0) = (2^d - 1) replicated per field (first d pattern chars
+# deletable before any text); h seeds from it so k <= maxerr degenerate
+# cases count the empty-substring alignment exactly like the Myers kernels
+# (whose score init is k).
 # ---------------------------------------------------------------------------
 
 
@@ -409,7 +420,6 @@ def _nfa_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
     fw = 32 // pack
     ones = sum(1 << (fw * i) for i in range(pack))
     ONES = np.uint32(ones)
-    LEAK = np.uint32((ones ^ 0xFFFFFFFF) & 0xFFFFFFFF)  # post-<<1 mask
 
     R = tuple(
         jnp.full((Ctp, Wt), np.uint32((((1 << d) - 1) * ones) & 0xFFFFFFFF),
@@ -421,6 +431,8 @@ def _nfa_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
     assert m % 8 == 0, m  # caller pads; see _bpm_kernel group-loading note
 
     def step(c_row, carry):
+        # No inter-field leak masks and no `| ONES` for d >= 2 -- see the
+        # header note for why every leaked bit lands on a value-forced bit 0.
         R, h = carry
         Eq = jnp.where(
             c_row == 0, peq_cols[0],
@@ -429,14 +441,18 @@ def _nfa_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
                                 jnp.where(c_row == 3, peq_cols[3],
                                           jnp.uint32(0)))),
         )
-        Rn = [(((R[0] << np.uint32(1)) & LEAK) | ONES) & Eq]
+        S = [r << np.uint32(1) for r in R]  # shifted once, shared below
+        Rn = [(S[0] | ONES) & Eq]
         for d in range(1, maxerr + 1):
-            Rn.append(
-                (((R[d] << np.uint32(1)) & LEAK) & Eq)
-                | R[d - 1]
-                | (((R[d - 1] | Rn[d - 1]) << np.uint32(1)) & LEAK)
-                | ONES
+            nxt = (
+                (S[d] & Eq)                       # match
+                | R[d - 1]                        # insertion (in text)
+                | S[d - 1]                        # substitution
+                | (Rn[d - 1] << np.uint32(1))     # deletion (in text)
             )
+            if d == 1:
+                nxt = nxt | ONES  # restart; implied by R[d-1] for d >= 2
+            Rn.append(nxt)
         return tuple(Rn), tuple(hh | rr for hh, rr in zip(h, Rn))
 
     def group(g, carry):
@@ -508,6 +524,12 @@ def approx_counts_pallas_packed(
 
     wvalid = window_valid.astype(jnp.int32).reshape(1, W)
 
+    # Scheduler hint: full-tile VPU ops per packed word per DP step (kernel
+    # header comments), so per-step flops = ops_word * (C // pack) * W.
+    if algo == "nfa":
+        ops_word = 8 + (7 if maxerr >= 1 else 0) + 6 * max(0, maxerr - 1)
+    else:
+        ops_word = 31 + 3 * pack  # incl. per-field min tracking
     body = _nfa_kernel_packed if algo == "nfa" else _bpm_kernel_packed
     out = pl.pallas_call(
         functools.partial(body, k=k, m=m, maxerr=maxerr, pack=pack),
@@ -524,7 +546,7 @@ def approx_counts_pallas_packed(
         out_specs=pl.BlockSpec((ctp, pack), lambda ci, wi: (ci, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=(24 // pack + 9) * C * W * m,
+            flops=ops_word * (C // pack) * W * m,
             bytes_accessed=C * 16 + m * W + 8 * C,
             transcendentals=0,
         ),

@@ -84,8 +84,16 @@ def sample_windows(
         starts = offs[chosen + 1] - 1 - sl  # suffix(seq, len-1-sl) -> sl+1 bases
     else:
         starts = offs[chosen]
-    # Gather all windows in one vectorized indexing op.
     if n_valid:
-        idx = starts[:, None] + np.arange(ncols)[None, :]
-        windows[:n_valid, :ncols] = reads.buf[idx]
+        try:  # native memcpy gather (numpy fancy indexing intermittently
+            from approx_counter_tpu.io.native import (  # throttles ~100x
+                gather_windows_native,
+            )
+
+            gather_windows_native(
+                np.ascontiguousarray(reads.buf), starts, ncols, windows
+            )
+        except ImportError:
+            idx = starts[:, None] + np.arange(ncols)[None, :]
+            windows[:n_valid, :ncols] = reads.buf[idx]
     return WindowBatch(windows=windows, n_valid=n_valid)

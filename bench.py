@@ -108,8 +108,8 @@ def bench_tpu() -> float:
     use_pallas = backend not in ("cpu",)
 
     def run(i):
-        wt = wts[i % NBUF]
-        return approx_counts(peq, wt, wv, K, use_pallas=use_pallas,
+        win = wts[i % NBUF]
+        return approx_counts(peq, win, wv, K, use_pallas=use_pallas,
                              ct=32, wt=512)
 
     dt = time_chained(run, ITERS)

@@ -330,6 +330,19 @@ Handle *fastx_parse(const char *path, const char **err) {
     return h;
 }
 
+// Cut sampled windows out of the base buffer: row i of out gets
+// buf[starts[i] .. starts[i]+ncols).  Replaces the reference's per-read
+// prefix()/suffix() views (/root/reference/approx_counter.cpp:463-466) --
+// and numpy's fancy-indexing gather, which intermittently crawls on this
+// host (see CLAUDE.md).  A straight memcpy loop runs at memory speed.
+void fastx_gather_windows(const uint8_t *buf, const int64_t *starts,
+                          int64_t n, int64_t ncols, uint8_t *out,
+                          int64_t out_stride) {
+    for (int64_t i = 0; i < n; i++) {
+        memcpy(out + i * out_stride, buf + starts[i], (size_t)ncols);
+    }
+}
+
 int64_t fastx_n_reads(Handle *h) { return (int64_t)h->offsets.size() - 1; }
 int64_t fastx_total_bases(Handle *h) { return (int64_t)h->buf.size(); }
 const uint8_t *fastx_buf(Handle *h) {
