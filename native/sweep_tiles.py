@@ -6,6 +6,7 @@ the CLAUDE.md honest-timing rules).  The shipped defaults (ct=32, wt=512
 for the packed kernel) come from this sweep.
 Usage: python native/sweep_tiles.py
 """
+import functools
 import os
 import sys
 
@@ -42,6 +43,10 @@ wts = [
 wv = jax.device_put(jnp.ones(W, bool))
 
 configs = []
+for ct in (16, 32, 64, 128):
+    for wt in (256, 512, 1024, 2048):
+        if C % ct == 0 and W % wt == 0:
+            configs.append(("nfa", ct, wt))  # shipped default for maxerr<=2
 for ct in (16, 32, 64, 128, 256):
     for wt in (256, 512, 1024):
         if C % ct == 0 and W % wt == 0:
@@ -49,10 +54,17 @@ for ct in (16, 32, 64, 128, 256):
 configs.append(("unpacked", 32, 512))   # shipped unpacked default
 configs.append(("unpacked", 128, 256))  # measured unpacked optimum (k=18)
 
+if len(sys.argv) > 1:  # e.g. "nfa" to sweep only one kernel family
+    configs = [c for c in configs if c[0] in sys.argv[1:]]
+
 results = []
 for name, ct, wt in configs:
-    fn = (approx_counts_pallas_packed if name == "packed"
-          else approx_counts_pallas)
+    if name == "unpacked":
+        fn = approx_counts_pallas
+    elif name == "nfa":
+        fn = functools.partial(approx_counts_pallas_packed, algo="nfa")
+    else:
+        fn = approx_counts_pallas_packed
 
     def run(i, fn=fn, ct=ct, wt=wt):
         return fn(peq, wts[i % NBUF], wv, K, ct=ct, wt=wt)

@@ -288,6 +288,36 @@ class TestNfaPacked:
         )
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize("k,pack", [(8, 4), (16, 2), (32, 1)])
+    def test_nfa_saturated_state_no_field_leak(self, k, pack, rng):
+        """Adversarial leak pressure: homopolymer pattern x homopolymer text
+        saturates every R bit (field width == k, top bit always set), so
+        every step shifts a 1 into the neighboring field; alternating-base
+        candidates in adjacent fields would corrupt if leaks weren't
+        value-absorbed (the kernel carries no leak masks by design)."""
+        from approx_counter_tpu.kernels.bpm import approx_counts_pallas_packed
+
+        C, W, m = 8, 128, 40
+        pats = np.zeros((C, k), np.uint8)
+        pats[::2] = 0                      # poly-A: saturates its field
+        pats[1::2] = rng.integers(1, 4, (C // 2, k))  # neighbors: no A
+        wins = np.zeros((W, m), np.uint8)  # poly-A text
+        valid = np.ones(W, bool)
+        hi, lo = split_code(_codes(pats))
+        peq = build_peq(hi, lo, k)
+        for maxerr in range(4):
+            want = np.asarray(
+                approx_counts_jnp(peq, wins.T.copy(), valid, k,
+                                  maxerr=maxerr)
+            )
+            got = np.asarray(
+                approx_counts_pallas_packed(
+                    peq, wins.T.copy(), valid, k, ct=8, wt=128,
+                    interpret=True, maxerr=maxerr, pack=pack, algo="nfa",
+                )
+            )
+            np.testing.assert_array_equal(got, want)
+
     def test_nfa_maxerr_at_least_k(self, rng):
         """k <= maxerr degenerate case: every window matches even the empty
         substring (d_min <= k <= maxerr), seeded by the NFA initial state."""

@@ -81,6 +81,24 @@ class TestFastx:
         with pytest.raises(FileNotFoundError):
             native_lib("/nonexistent/file.fasta")
 
+    def test_native_gather_matches_numpy(self, native_lib, rng):
+        """gather_windows_native == numpy fancy-indexing gather (the
+        sampler's fallback path), including the untouched pad column."""
+        from approx_counter_tpu.core.codec import BASE_PAD
+        from approx_counter_tpu.io.native import gather_windows_native
+
+        buf = rng.integers(0, 5, 10_000).astype(np.uint8)
+        starts = rng.integers(0, len(buf) - 64, 200).astype(np.int64)
+        for ncols in (1, 7, 64):
+            want = np.full((256, 65), BASE_PAD, np.uint8)
+            want[:200, :ncols] = buf[starts[:, None] + np.arange(ncols)]
+            got = np.full((256, 65), BASE_PAD, np.uint8)
+            gather_windows_native(buf, starts, ncols, got)
+            np.testing.assert_array_equal(got, want)
+        out = np.full((4, 8), BASE_PAD, np.uint8)
+        gather_windows_native(buf, np.empty(0, np.int64), 8, out)
+        assert (out == BASE_PAD).all()
+
 
 class TestConfig:
     def test_grammar(self, tmp_path):
