@@ -53,8 +53,8 @@ def approx_counts_sharded(
     k: int,
     mesh: Mesh,
     axis: str = "data",
-    ct: int = 32,
-    wt: int = 512,
+    ct: int = 128,
+    wt: int = 256,
     use_pallas: bool = True,
     interpret: bool = False,
     maxerr: int = 2,
@@ -86,8 +86,8 @@ def make_full_step(
     k: int,
     cap: int,
     axis: str = "data",
-    ct: int = 32,
-    wt: int = 512,
+    ct: int = 128,
+    wt: int = 256,
     use_pallas: bool | None = None,
     n_forbidden: int = 0,
     use_solid: bool = False,

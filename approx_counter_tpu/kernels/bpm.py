@@ -31,16 +31,16 @@ N behaves exactly like SeqAn's Dna5 'N' vs an ACGT needle (unit mismatch
 cost) and trailing padding can never lower d_min (monotonicity argument in
 SURVEY.md §3C / tests).
 
-Performance (TPU v5e, k=16, m=101/104, 512x40960 pairs): unpacked kernel
-~27 ms/call = 0.77 Gpairs/s; SWAR packed-pair Myers ~10.4 ms = 2.0 Gpairs/s
-= 0.20 Tcell/s at the swept-optimal tile (ct=32, wt=512 -- see
-native/sweep_tiles.py; large candidate tiles lose ~40%, likely VMEM-pressure
-induced scheduling).  Speed-of-light: ~37 full-tile VPU ops per packed
-Myers DP step on (16, 512) u32 tiles; at ~4 vreg-ops/cycle multi-issue that
-is the VPU ceiling, so op count converts ~1:1 to throughput -- which is why
-the level-NFA kernel below (29 ops at maxerr=2, 21 at maxerr=1) measures
-2.3 / 3.0 Gpairs/s and is the default for maxerr <= 2.  Measured variants
-that did NOT help: pre-converted int32 windows (-5%), 2-bit mux Eq select
+Performance (TPU v5e, k=16, m=101/104, 512x40960 pairs): unpacked Myers
+~27 ms/call = 0.77 Gpairs/s; SWAR packed-pair Myers ~10.4 ms = 2.0
+Gpairs/s; the mask-free level-NFA below is the production kernel --
+7.6 ms = 2.75 Gpairs/s = 0.28 Tcell/s at maxerr=2 (3.3 / 3.6 at maxerr
+1 / 0) at the swept-optimal tile ct=128/wt=256 (native/sweep_tiles.py).
+Speed-of-light: the kernel is VPU-bound, ~4 vreg-ops/cycle multi-issue, so
+per-step op count converts ~1:1 to throughput: ~23 full-tile ops per
+packed NFA step ~= 11.5/candidate -> ~3.2 Gpairs/s ideal at m=104; the
+2.75 measured is ~85% of that ceiling.  Measured variants that did NOT
+help: pre-converted int32 windows (-5%), 2-bit mux Eq select
 (noise-level), unsigned score (Mosaic lacks minui).  pack=4 (8-bit fields,
 k <= 8) cuts per-candidate ops a further ~40% for small k.
 """
@@ -556,33 +556,23 @@ def approx_counts_pallas_packed(
 
 
 def approx_counts(peq, windows_t, window_valid, k: int, maxerr: int = MAXERR,
-                  use_pallas: bool | None = None, ct: int = 32, wt: int = 512,
-                  interpret: bool = False):
+                  use_pallas: bool | None = None, ct: int = 128,
+                  wt: int = 256, interpret: bool = False):
     """Dispatch to the fastest kernel for the configuration.
 
-    On TPU: the level-NFA kernel for maxerr <= 2 (fewer VPU ops than Myers
-    at low error bounds -- measured v5e, k=16 defaults: 2.3 vs 2.0 Gpairs/s
-    at maxerr=2, 3.0 vs 2.0 at maxerr=1), SWAR-packed Myers for maxerr == 3
-    and k <= 16, plain Myers otherwise; jnp elsewhere (CPU tests; ct/wt/
-    interpret are ignored on the jnp path).  Packing: 4 candidates/word for
-    k <= 8, 2 for k <= 16, 1 for k <= 32."""
+    On TPU: the level-NFA kernel at every error bound -- with the leak
+    masks gone it beats the Myers kernels everywhere (measured v5e, k=16
+    pack=2, ct=128/wt=256: 3.6 / 3.3 / 2.75 / 2.0 Gpairs/s at maxerr
+    0/1/2/3; packed Myers manages 2.0 at maxerr=3 and less below).  The
+    Myers kernels remain as differential-test alternates.  jnp elsewhere
+    (CPU tests; ct/wt/interpret are ignored on the jnp path).  Packing:
+    4 candidates/word for k <= 8, 2 for k <= 16, 1 for k <= 32."""
     on_tpu = (jax.default_backend() not in ("cpu",)
               if use_pallas is None else use_pallas)
-    if on_tpu and maxerr <= 2:
+    if on_tpu:
         pack = 4 if (k <= 8 and ct % 4 == 0) else (2 if k <= 16 else 1)
         return approx_counts_pallas_packed(
             peq, windows_t, window_valid, k, maxerr=maxerr, pack=pack,
             ct=ct, wt=wt, interpret=interpret, algo="nfa",
-        )
-    if on_tpu and k <= 16:
-        pack = 4 if (k <= 8 and ct % 4 == 0) else 2
-        return approx_counts_pallas_packed(
-            peq, windows_t, window_valid, k, maxerr=maxerr, pack=pack,
-            ct=ct, wt=wt, interpret=interpret,
-        )
-    if on_tpu:
-        return approx_counts_pallas(
-            peq, windows_t, window_valid, k, maxerr=maxerr,
-            ct=ct, wt=wt, interpret=interpret,
         )
     return approx_counts_jnp(peq, windows_t, window_valid, k, maxerr=maxerr)

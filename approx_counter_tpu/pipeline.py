@@ -36,7 +36,8 @@ from approx_counter_tpu.params import Params
 from approx_counter_tpu.sample.sampler import sample_windows
 
 #: Kernel tile sizes (candidates x windows); see kernels/bpm.py layout notes.
-CT, WT = 32, 512  # tile sweep on v5e: ct=32,wt=512 best (native/sweep_tiles.py)
+CT, WT = 128, 256  # v5e sweep optimum for the level-NFA kernel
+#                    (native/sweep_tiles.py; ct=32/wt=512 is ~3% slower)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -110,7 +110,7 @@ def bench_tpu() -> float:
     def run(i):
         win = wts[i % NBUF]
         return approx_counts(peq, win, wv, K, use_pallas=use_pallas,
-                             ct=32, wt=512)
+                             ct=128, wt=256)
 
     dt = time_chained(run, ITERS)
     pairs_per_s = C * W / dt
