@@ -7,8 +7,10 @@ program:
 
   1. pack every window position's k-mer into a (hi, lo) uint32 code pair in
      one vectorized sweep, tracking N/pad validity as a mask;
-  2. ``lax.sort`` the codes (validity as primary key) and run-length encode
-     to get unique codes + counts -- no hash map;
+  2. ``lax.sort`` the codes (invalid positions mapped to code 0 and
+     corrected out of the first run, keeping the sort single-key for
+     k <= 16) and run-length encode to get unique codes + counts -- no
+     hash map;
   3. mask low-complexity (DUST) and forbidden codes on the *unique* entries
      (equivalent to the reference's per-position filtering because the
      filters depend only on the code);
@@ -113,26 +115,23 @@ def exact_count_select_rows(
     lo = lo.reshape(P)
     valid = valid.reshape(P)
 
-    # --- 2. sort by (invalid-last, code) + run-length encode --------------
-    # k <= 15: codes fit in 31 bits of lo, so 0xFFFFFFFF is a collision-free
-    # invalid sentinel and the sort needs a single uint32 key.  k == 16
-    # keeps the explicit invalid key (an all-T 16-mer IS 0xFFFFFFFF);
-    # k > 16 carries hi.
-    if k <= 15:
-        lo_s = jnp.where(valid, lo, jnp.uint32(0xFFFFFFFF))
+    # --- 2. sort by code + run-length encode -------------------------------
+    # Invalid positions are mapped to code 0 (the all-A k-mer) rather than
+    # carrying an extra invalid sort key: after the sort they coalesce into
+    # the *first* run, whose length we correct by the (known) invalid count.
+    # This keeps the 3.5M-element sort at a single uint32 key for k <= 16
+    # (no 32-bit sentinel is free at k == 16 -- all-T IS 0xFFFFFFFF) and two
+    # keys for k > 16.
+    n_total_valid = jnp.sum(valid.astype(jnp.int32))
+    n_invalid = jnp.int32(P) - n_total_valid
+    if k <= 16:
+        lo_s = jnp.where(valid, lo, jnp.uint32(0))
         (s_lo,) = jax.lax.sort([lo_s], num_keys=1)
         s_hi = jnp.zeros_like(s_lo)
-        s_valid = s_lo != jnp.uint32(0xFFFFFFFF)
-    elif k <= 16:
-        invalid_key = (~valid).astype(jnp.uint32)
-        s_inv, s_lo = jax.lax.sort([invalid_key, lo], num_keys=2)
-        s_hi = jnp.zeros_like(s_lo)
-        s_valid = s_inv == 0
     else:
-        invalid_key = (~valid).astype(jnp.uint32)
-        s_inv, s_hi, s_lo = jax.lax.sort([invalid_key, hi, lo], num_keys=3)
-        s_valid = s_inv == 0
-    n_total_valid = jnp.sum(s_valid.astype(jnp.int32))
+        hi_s = jnp.where(valid, hi, jnp.uint32(0))
+        lo_s = jnp.where(valid, lo, jnp.uint32(0))
+        s_hi, s_lo = jax.lax.sort([hi_s, lo_s], num_keys=2)
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (P,), 0)
     prev_lo = jnp.roll(s_lo, 1)
@@ -141,13 +140,16 @@ def exact_count_select_rows(
     else:
         prev_hi = jnp.roll(s_hi, 1)
         code_change = (s_hi != prev_hi) | (s_lo != prev_lo)
-    is_start = s_valid & ((idx == 0) | code_change)
+    is_start = (idx == 0) | code_change
 
     start_idx = jnp.where(is_start, idx, jnp.int32(P))
     # next run start at or after i+1:
     next_start = jax.lax.cummin(start_idx, axis=0, reverse=True)
     next_start = jnp.concatenate([next_start[1:], jnp.full((1,), P, jnp.int32)])
-    run_count = jnp.minimum(next_start, n_total_valid) - idx  # valid at starts
+    # run 0 holds every invalid position (all mapped to code 0) plus any
+    # real all-A k-mers; subtracting n_invalid there makes counts exact.
+    run_count = next_start - idx - jnp.where(idx == 0, n_invalid, 0)
+    is_start = is_start & (run_count > 0)  # run 0 may be pure-invalid
     n_unique = jnp.sum(is_start.astype(jnp.int32))
 
     # --- 3. filters on unique entries -------------------------------------

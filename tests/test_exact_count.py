@@ -78,6 +78,42 @@ def test_forbidden_and_solid(rng):
     assert int(top) not in codes.tolist()
 
 
+def test_all_a_run_vs_invalid_coalescing(rng):
+    """Invalid positions sort as code 0 (all-A) and are corrected out of
+    the first run -- real poly-A counts must survive exactly, next to Ns,
+    pad rows and pad columns."""
+    k, n, m = 4, 8, 24
+    windows = rng.integers(0, 4, (n, m)).astype(np.uint8)
+    windows[0, :10] = 0          # a genuine poly-A stretch: 7 AAAA k-mers
+    windows[1, 3] = 4            # Ns make invalid positions
+    windows[2, :] = 4
+    windows[3, -5:] = BASE_PAD   # pad columns = the window ends 5 bases early
+    lc = 1000.0                  # keep poly-A past the LC filter
+    oracle_rows = list(windows[:3]) + [windows[3, :-5]] + list(windows[4:])
+    want_counter, want_had_n = oracle_count_kmers(oracle_rows, k, lc, set())
+    want = oracle_get_most_frequent(want_counter, 30, k)
+    padded = np.concatenate(
+        [windows, np.full((2, m), BASE_PAD, np.uint8)], axis=0
+    )
+    codes, counts, out = _run(
+        padded, n, k, lc, np.empty(0, np.uint64), 30, 0, cap=128
+    )
+    assert int(out["had_n"]) == want_had_n
+    assert list(zip(codes.tolist(), counts.tolist())) == want
+    assert encode_kmer("AAAA") in codes.tolist()
+
+
+def test_all_invalid_batch():
+    """Every position invalid: the code-0 run must vanish entirely."""
+    k = 4
+    windows = np.full((6, 20), 4, np.uint8)  # all N
+    codes, counts, out = _run(
+        windows, 6, k, 1000.0, np.empty(0, np.uint64), 10, 0
+    )
+    assert int(out["n_unique"]) == 0
+    assert len(codes) == 0
+
+
 def test_limit_truncation(rng):
     k, n, m = 6, 8, 30
     windows = rng.integers(0, 4, (n, m)).astype(np.uint8)
