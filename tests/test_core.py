@@ -49,6 +49,17 @@ class TestCodec:
         np.testing.assert_array_equal(join_code(hi, lo), v)
 
 
+class TestIsDna:
+    def test_pure_and_tainted(self):
+        """is_DNA twin (approx_counter.cpp:313-321): ordinal >= 4 fails."""
+        from approx_counter_tpu.core.codec import is_dna
+
+        assert is_dna("ACGT") and is_dna("acgt") and is_dna(b"GGCC")
+        assert not is_dna("ACGNT")
+        assert not is_dna("ACG-")
+        assert is_dna("")  # vacuously pure, like the reference's loop
+
+
 class TestComplexity:
     def test_adjust_threshold(self):
         # approx_counter.cpp:183-186: c * ((k_new-1)/(k_old-1))^2

@@ -131,6 +131,42 @@ class TestExport:
         assert "COULD NOT OPEN FILE" in capsys.readouterr().err
 
 
+class TestPrintCounters:
+    def test_stdout_format(self, capsys):
+        """printCounters twin: ``kmer count`` space-separated to stdout
+        (approx_counter.cpp:143-149; dead code there, kept for parity)."""
+        from approx_counter_tpu.io.export import print_counters
+
+        print_counters(np.array([1, 4], np.uint64), np.array([7, 2]), 2)
+        assert capsys.readouterr().out == "AC 7\nCA 2\n"
+
+
+class TestLog:
+    def test_prefix_and_nesting(self):
+        """``[<ms> ms]\\t`` prefix + one tab per level, %g ms formatting
+        (approx_counter.cpp:85-94)."""
+        import io
+        import re
+
+        from approx_counter_tpu.io.logging import Log
+
+        buf = io.StringIO()
+        log = Log(stream=buf)
+        log("hello")
+        log("nested", 2)
+        lines = buf.getvalue().splitlines()
+        assert re.fullmatch(r"\[[0-9.e+-]+ ms\]\thello", lines[0])
+        assert re.fullmatch(r"\[[0-9.e+-]+ ms\]\t\t\tnested", lines[1])
+
+    def test_warn_error_prefixes(self, capsys):
+        from approx_counter_tpu.io.logging import error, warn
+
+        warn("w")
+        error("e")
+        err = capsys.readouterr().err
+        assert "/!\\ WARNING: w\n" in err and "/!\\ ERROR: e\n" in err
+
+
 class TestKmerList:
     def test_parse(self, tmp_path):
         p = tmp_path / "fk.txt"
