@@ -44,7 +44,8 @@ def fasta(tmp_path, rng):
     return p, reads
 
 
-def oracle_outputs(reads, k, sl, param_lc, limit, solid_km=0, end=False):
+def oracle_outputs(reads, k, sl, param_lc, limit, solid_km=0, end=False,
+                   forbidden=frozenset(), maxerr=2):
     lc = adjust_threshold(param_lc, 16, k)
     if end:
         windows = [
@@ -55,12 +56,12 @@ def oracle_outputs(reads, k, sl, param_lc, limit, solid_km=0, end=False):
     from approx_counter_tpu.core.codec import _CHAR_TO_CODE
 
     windows = [_CHAR_TO_CODE[w] for w in windows]
-    counter, _ = oracle_count_kmers(windows, k, lc, set())
+    counter, _ = oracle_count_kmers(windows, k, lc, set(forbidden))
     if solid_km:
         sel = oracle_get_solid_kmers(counter, solid_km, k)
     else:
         sel = oracle_get_most_frequent(counter, limit, k)
-    approx = oracle_error_count(windows, [c for c, _ in sel], k)
+    approx = oracle_error_count(windows, [c for c, _ in sel], k, maxerr=maxerr)
     ranked = oracle_sort_compare_count(approx, k)[:limit]
     exact_lines = "".join(
         f"{decode_kmers(np.array([c], np.uint64), k)[0]}\t{n}\n" for c, n in sel
@@ -144,6 +145,56 @@ def test_randomized_config_byte_parity(tmp_path, k, sl, limit, param_lc,
         )
         assert open(str(exact) + suffix).read() == want_exact, suffix
         assert open(str(out) + suffix).read() == want_approx, suffix
+
+
+def test_forbidden_and_maxerr_byte_parity(tmp_path):
+    """End-to-end byte parity with a forbidden-k-mer list and a non-default
+    --max-error bound (the two knobs the randomized sweep doesn't vary)."""
+    from approx_counter_tpu.core.codec import decode_kmers as _dk
+
+    rng = np.random.default_rng(21)
+    k, sl, limit, n_reads = 6, 16, 15, 10
+    reads = [
+        codes_to_seq(rng.integers(0, 4, 40).astype(np.uint8))
+        for _ in range(n_reads)
+    ]
+    p = tmp_path / "r.fasta"
+    with open(p, "w") as f:
+        for i, s in enumerate(reads):
+            f.write(f">r{i}\n{s}\n")
+    # forbid the two overall most frequent start k-mers
+    windows = [
+        np.frombuffer(r[:sl].encode(), np.uint8) for r in reads
+    ]
+    from approx_counter_tpu.core.codec import _CHAR_TO_CODE
+
+    counter, _ = oracle_count_kmers(
+        [_CHAR_TO_CODE[w] for w in windows], k, 1000.0, set()
+    )
+    top2 = [c for c, _ in oracle_get_most_frequent(counter, 2, k)]
+    fk = tmp_path / "forbid.txt"
+    fk.write_text("".join(
+        _dk(np.array([c], np.uint64), k)[0] + "\n" for c in top2
+    ))
+
+    out, exact = tmp_path / "o.txt", tmp_path / "e.txt"
+    prm = Params(
+        input_file=str(p), output=str(out), exact_out=str(exact),
+        k=k, sl=sl, sn=n_reads, limit=limit, param_lc=1000.0,
+        forbid_kmer=str(fk), max_error=1, v=0, seed=9,
+    )
+    assert run_pipeline(prm) == 0
+    for end in (False, True):
+        suffix = "_0.end" if end else "_0.start"
+        want_exact, want_approx = oracle_outputs(
+            reads, k, sl, 1000.0, limit, end=end,
+            forbidden=frozenset(int(c) for c in top2), maxerr=1,
+        )
+        assert open(str(exact) + suffix).read() == want_exact, suffix
+        assert open(str(out) + suffix).read() == want_approx, suffix
+        got = open(str(out) + suffix).read()
+        for c in top2:
+            assert _dk(np.array([c], np.uint64), k)[0] not in got
 
 
 def test_solid_mode_and_skip_end(fasta, tmp_path):
