@@ -91,21 +91,30 @@ def read_fastx_native(path: str) -> Reads:
         if "could not open" in msg:
             raise FileNotFoundError(path)
         raise ValueError(msg)
-    try:
-        n = lib.fastx_n_reads(h)
-        total = lib.fastx_total_bases(h)
-        # ctypes.string_at is a C memcpy into a bytes object; numpy's own
-        # copy path is ~100x slower on some virtualized hosts (see fastx.py)
-        buf = np.frombuffer(
-            bytearray(ctypes.string_at(lib.fastx_buf(h), total)),
-            dtype=np.uint8,
-        )
-        offsets = np.frombuffer(
-            bytearray(ctypes.string_at(lib.fastx_offsets(h), 8 * (n + 1))),
-            dtype=np.int64,
-        )
-    finally:
+    n = lib.fastx_n_reads(h)
+    total = lib.fastx_total_bases(h)
+    if total == 0:
         lib.fastx_free(h)
+        return Reads(
+            buf=np.empty(0, np.uint8),
+            offsets=np.zeros(n + 1, np.int64),
+        )
+    # Zero-copy wrap of the C++ base buffer: a second pass over a multi-GB
+    # file just to memcpy it is measurable on this (throttled) host.  The
+    # ctypes array borrows the handle's memory and becomes the numpy base;
+    # the finalizer frees the handle only once the last view dies.
+    import weakref
+
+    cbuf = (ctypes.c_uint8 * total).from_address(
+        ctypes.addressof(lib.fastx_buf(h).contents)
+    )
+    weakref.finalize(cbuf, lib.fastx_free, h)
+    buf = np.frombuffer(cbuf, dtype=np.uint8)
+    # offsets are 8*(n+1) bytes -- a copy is cheap and decouples lifetime
+    offsets = np.frombuffer(
+        bytearray(ctypes.string_at(lib.fastx_offsets(h), 8 * (n + 1))),
+        dtype=np.int64,
+    )
     return Reads(buf=buf, offsets=offsets)
 
 
