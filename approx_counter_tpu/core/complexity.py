@@ -93,16 +93,18 @@ def dimer_sum(hi, lo, k: int):
             d = (hi >> np.uint32(b - 32)) & np.uint32(15)
         else:  # straddles the 32-bit boundary (b == 30)
             d = ((lo >> np.uint32(30)) | (hi << np.uint32(2))) & np.uint32(15)
-        dimers.append(d)
-    dim = jnp.stack(dimers, axis=-1).astype(jnp.int32)  # (..., k-1)
+        dimers.append(d.astype(jnp.int32))
     # sum_v v*(v-1) == number of ordered equal pairs == 2 * #unordered:
-    # pairwise compares, C(k-1,2) ops, cheaper than a 16-bin one-hot
-    # histogram ((k-1)*16 ops) for every k.
+    # C(k-1,2) pairwise compares over the k-1 dimer arrays kept as SEPARATE
+    # values -- a pure elementwise DAG XLA fuses into one pass.  (A stacked
+    # (..., k-1) array + column slices materializes ~(k-1) x input bytes in
+    # HBM and made this the hottest op of the exact stage: 22 -> ~2 ms at
+    # the 3.5M-position default batch.)
     n = k - 1
-    acc = jnp.zeros(dim.shape[:-1], jnp.int32)
+    acc = jnp.zeros(jnp.shape(lo), jnp.int32)
     for i in range(n):
         for j in range(i + 1, n):
-            acc = acc + (dim[..., i] == dim[..., j]).astype(jnp.int32)
+            acc = acc + (dimers[i] == dimers[j]).astype(jnp.int32)
     return acc * 2
 
 
