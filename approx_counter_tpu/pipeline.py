@@ -16,6 +16,7 @@ implement the *intended* skip unless ``compat_quirks`` asks for the bug.
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -83,9 +84,42 @@ class Engine:
 
         Returns (exact_sel, approx_sel) as (codes, counts) numpy pairs in
         CompareCount order, plus stats.
+
+        Top-N mode (the default): n_keep <= limit <= cap always holds, so
+        the whole pass -- exact count, selection, BPM scoring, re-rank --
+        is ONE jitted call and ONE batched fetch; every extra dispatch or
+        fetch costs a full round trip through the (remote) device tunnel.
+        Solid mode keeps the two-phase path because the candidate count is
+        data-dependent and may force a re-trace at a larger cap.
         """
         prm = self.prm
         cap = max(512, _round_up(min(prm.limit, 1 << 20), CT))
+        if prm.solid_km <= 0:
+            while True:
+                dev = self._fused_step(windows, np.int32(n_valid), cap)
+                out = jax.device_get(dev)
+                n_keep = int(out["exact"]["n_keep"])
+                if n_keep <= cap:
+                    break
+                # only reachable when limit > 2^20 unique passing k-mers:
+                # the cap clamp truncated; re-trace at the true size
+                cap = _round_up(n_keep, CT)
+            approx = self._truncate_approx(
+                out["approx_hi"], out["approx_lo"], out["approx_count"],
+                out["approx_valid"],
+            )
+            ex = out["exact"]
+            stats = dict(
+                n_unique=int(ex["n_unique"]),
+                n_keep=n_keep,
+                had_n=int(ex["had_n"]),
+            )
+            exact_codes = join_code(
+                ex["sel_hi"][:n_keep], ex["sel_lo"][:n_keep]
+            )
+            exact_counts = ex["sel_count"][:n_keep].astype(np.uint64)
+            return (exact_codes, exact_counts), approx, stats
+
         while True:
             dev_out = exact_count_select(
                 windows,
@@ -98,18 +132,8 @@ class Engine:
                 np.int32(prm.solid_km),
                 cap=cap,
                 n_forbidden=len(self.forbidden),
-                use_solid=prm.solid_km > 0,
+                use_solid=True,
             )
-            dev_approx = None
-            if prm.solid_km <= 0:
-                # top-N mode: n_keep <= limit <= cap always holds, so chain
-                # the approx stage device-side *before* the host fetch --
-                # the (remote-tunnel) exact fetch then overlaps the BPM
-                # compute and one round-trip serialization disappears.
-                dev_approx = self._approx_dispatch(
-                    windows, n_valid, dev_out["sel_hi"], dev_out["sel_lo"],
-                    dev_out["sel_valid"], cap,
-                )
             # one batched host fetch -- each separate np.asarray pays a full
             # device round-trip (tens of ms through the remote tunnel)
             out = jax.device_get(dev_out)
@@ -117,6 +141,10 @@ class Engine:
             if n_keep <= cap:
                 break
             cap = _round_up(n_keep, CT)  # solid mode can exceed; re-trace
+        dev_approx = self._approx_dispatch(
+            windows, n_valid, dev_out["sel_hi"], dev_out["sel_lo"],
+            dev_out["sel_valid"], cap,
+        )
 
         sel_count = out["sel_count"]
         stats = dict(
@@ -125,15 +153,57 @@ class Engine:
             had_n=int(out["had_n"]),
         )
 
-        if dev_approx is None:  # solid mode: dispatch after the cap settles
-            dev_approx = self._approx_dispatch(
-                windows, n_valid, dev_out["sel_hi"], dev_out["sel_lo"],
-                dev_out["sel_valid"], cap,
-            )
+        stats = dict(
+            n_unique=int(out["n_unique"]),
+            n_keep=n_keep,
+            had_n=int(out["had_n"]),
+        )
         approx = self._approx_finish(dev_approx)
         exact_codes = join_code(out["sel_hi"][:n_keep], out["sel_lo"][:n_keep])
-        exact_counts = sel_count[:n_keep].astype(np.uint64)
+        exact_counts = out["sel_count"][:n_keep].astype(np.uint64)
         return (exact_codes, exact_counts), approx, stats
+
+    @functools.lru_cache(maxsize=None)
+    def _fused_fn(self, cap: int):
+        """One jitted device program for a full top-N pass: exact count +
+        selection + BPM scoring + CompareCount re-rank (single dispatch,
+        single fetch -- the remote-tunnel round trips dominate otherwise)."""
+        prm = self.prm
+        from approx_counter_tpu.count.approx import approx_count_rank
+
+        @jax.jit
+        def step(windows, n_valid, lc_thr, fhi, flo, limit, solid_km):
+            ex = exact_count_select(
+                windows, n_valid, prm.k, lc_thr, fhi, flo, limit, solid_km,
+                cap=cap, n_forbidden=len(self.forbidden), use_solid=False,
+            )
+            a_hi, a_lo, a_cnt, a_val = approx_count_rank(
+                windows, n_valid, ex["sel_hi"], ex["sel_lo"],
+                ex["sel_valid"], prm.k, ct=min(CT, cap), wt=WT,
+                use_pallas=self.use_pallas, maxerr=prm.max_error,
+            )
+            return dict(
+                exact=ex, approx_hi=a_hi, approx_lo=a_lo,
+                approx_count=a_cnt, approx_valid=a_val,
+            )
+
+        return step
+
+    def _fused_step(self, windows, n_valid, cap: int):
+        prm = self.prm
+        return self._fused_fn(cap)(
+            windows, n_valid, self.lc_sum_thr, self.fhi, self.flo,
+            np.int32(min(prm.limit, np.iinfo(np.int32).max)),
+            np.int32(prm.solid_km),
+        )
+
+    def _truncate_approx(self, a_hi, a_lo, a_cnt, a_val):
+        """Truncate fetched approx arrays to limit (the final resize, :923)."""
+        n_approx = min(int(a_val.sum()), self.prm.limit)
+        return (
+            join_code(a_hi[:n_approx], a_lo[:n_approx]),
+            a_cnt[:n_approx].astype(np.uint64),
+        )
 
     def _approx_dispatch(self, windows, n_valid, sel_hi, sel_lo, sel_valid,
                          cap):
