@@ -118,6 +118,26 @@ def bench_tpu() -> float:
         f"kernel: {dt * 1e3:.2f} ms/iter, {pairs_per_s / 1e9:.2f} Gpairs/s, "
         f"{C * W * M / dt / 1e12:.3f} Tcell/s"
     )
+
+    # Secondary diagnostic (stderr only): one full counting pass -- exact
+    # count + selection + BPM + re-rank as the pipeline's fused jit step.
+    try:
+        from approx_counter_tpu.params import Params
+        from approx_counter_tpu.pipeline import Engine
+
+        eng = Engine(Params(input_file="bench", sn=W, sl=M - 1, k=K),
+                     use_pallas=use_pallas)
+        wbufs = [
+            rng.integers(0, 4, (W, M)).astype(np.uint8) for _ in range(4)
+        ]
+        jax.block_until_ready(eng._fused_step(wbufs[0], np.int32(W), 512))
+        t0 = time.perf_counter()
+        for i in range(1, 4):  # distinct buffers; includes H2D + fetch
+            jax.device_get(eng._fused_step(wbufs[i], np.int32(W), 512))
+        log(f"full pass (fused exact+BPM+rank, incl. transfers): "
+            f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms")
+    except Exception as e:  # noqa: BLE001
+        log(f"full-pass diagnostic unavailable: {e}")
     return pairs_per_s
 
 

@@ -342,3 +342,47 @@ class TestNfaPacked:
         # d_min <= k == 2 always (delete the whole pattern), so every window
         # contributes at least (maxerr+1) - k = 2.
         assert (np.asarray(want) >= 2 * W).all()
+
+
+class TestApproxCountRank:
+    """The device glue around the kernel: peq build, transpose, kernel
+    dispatch (pallas interpret), CompareCount re-rank with the zero-count
+    +1 key offset -- differential vs a host-side oracle composition."""
+
+    def test_interpret_pallas_glue_matches_oracle(self, rng):
+        from approx_counter_tpu.count.approx import approx_count_rank
+        from approx_counter_tpu.core.codec import join_code, split_code
+        from approx_counter_tpu.oracle import (
+            oracle_error_count,
+            oracle_sort_compare_count,
+        )
+
+        k, cap, W, m = 8, 16, 64, 24
+        pats = _random_patterns(rng, 10, k)
+        codes = _codes(pats)
+        wins = rng.integers(0, 4, (W, m)).astype(np.uint8)
+        for w in range(0, W, 3):  # plant some exact hits
+            pos = rng.integers(0, m - k + 1)
+            wins[w, pos : pos + k] = pats[w % len(pats)]
+        n_valid = W - 5
+        hi, lo = split_code(codes)
+        sel_hi = np.zeros(cap, np.uint32)
+        sel_lo = np.zeros(cap, np.uint32)
+        sel_valid = np.zeros(cap, bool)
+        sel_hi[: len(codes)], sel_lo[: len(codes)] = hi, lo
+        sel_valid[: len(codes)] = True
+
+        a_hi, a_lo, a_cnt, a_val = map(np.asarray, approx_count_rank(
+            wins, np.int32(n_valid), sel_hi, sel_lo, sel_valid, k,
+            ct=cap, wt=W, use_pallas=True, interpret=True,
+        ))
+        n = int(a_val.sum())
+        assert n == len(codes)  # zero-count candidates stay in the ranking
+        got = list(zip(join_code(a_hi[:n], a_lo[:n]).tolist(),
+                       a_cnt[:n].tolist()))
+
+        counter = oracle_error_count(
+            [wins[i] for i in range(n_valid)], [int(c) for c in codes], k
+        )
+        want = oracle_sort_compare_count(counter, k)
+        assert got == want
