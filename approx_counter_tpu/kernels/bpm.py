@@ -87,14 +87,37 @@ def build_peq(hi, lo, k: int):
     return jnp.stack(peq, axis=-1)  # [C, 4]
 
 
-def _bpm_step(c_row, VP, VN, score, minsc, peq_cols, k: int):
-    """One Myers DP step over a whole (Ct, Wt) tile.
+def _eq_select(c_row, peq_cols, eqsel: str):
+    """Eq mask for text-base row ``c_row`` (int32 (1, Wt), values 0..5).
 
-    ``c_row``: (1, Wt) int32 window bases at text position j.
-    ``peq_cols``: tuple of 4 (Ct, 1) uint32 masks.
+    ``eqsel`` picks the select strategy (measured on v5e, see module
+    docstring):
+
+    * ``"where"`` — nested 4-way compare+select over the peq columns:
+      8 full-tile VPU ops.
+    * ``"slice"`` — bit-sliced xor trick: precompute (outside the text
+      loop) ``mask0 = peq[1] | peq[3]`` (pattern bases with bit0 set) and
+      ``mask1 = peq[2] | peq[3]``; per step build all-ones/all-zeros row
+      masks from the text base's bits and xor them in:
+
+          Eq = (mask0 ^ x0) & (mask1 ^ x1) & vm
+          x_b = ((c >> b) & 1) - 1   (all-ones iff text bit b == 0)
+          vm  = (c - 4) >> 31        (all-ones iff c < 4, kills N/pad)
+
+      Bit i of ``mask_b ^ x_b`` is [pattern-base-i bit b == c bit b], so
+      the AND is exactly [pattern base i == c].  4 full-tile ops plus 3
+      cheap (1, Wt) row ops.
+
+    ``peq_cols`` is (p0, p1, p2, p3) of (Ctp, 1) uint32 for "where", or
+    the precomputed (mask0, mask1) pair for "slice".
     """
-    high = np.uint32(1) << np.uint32(k - 1)
-    Eq = jnp.where(
+    if eqsel == "slice":
+        mask0, mask1 = peq_cols
+        x0 = ((c_row & 1) - 1).astype(jnp.uint32)
+        x1 = (((c_row >> 1) & 1) - 1).astype(jnp.uint32)
+        vm = ((c_row - 4) >> 31).astype(jnp.uint32)
+        return (mask0 ^ x0) & (mask1 ^ x1) & vm
+    return jnp.where(
         c_row == 0,
         peq_cols[0],
         jnp.where(
@@ -104,6 +127,25 @@ def _bpm_step(c_row, VP, VN, score, minsc, peq_cols, k: int):
                       jnp.where(c_row == 3, peq_cols[3], jnp.uint32(0))),
         ),
     )
+
+
+def _eq_cols(peq_ref, eqsel: str):
+    """Per-tile Eq-select constants from the (Ctp, 4) peq block."""
+    cols = tuple(peq_ref[:, b][:, None] for b in range(4))  # (Ctp, 1) u32
+    if eqsel == "slice":
+        return (cols[1] | cols[3], cols[2] | cols[3])
+    return cols
+
+
+def _bpm_step(c_row, VP, VN, score, minsc, peq_cols, k: int,
+              eqsel: str = "where"):
+    """One Myers DP step over a whole (Ct, Wt) tile.
+
+    ``c_row``: (1, Wt) int32 window bases at text position j.
+    ``peq_cols``: Eq-select constants (see _eq_select).
+    """
+    high = np.uint32(1) << np.uint32(k - 1)
+    Eq = _eq_select(c_row, peq_cols, eqsel)
     Xv = Eq | VN
     Xh = (((Eq & VP) + VP) ^ VP) | Eq
     Ph = VN | ~(Xh | VP)
@@ -164,10 +206,10 @@ def approx_counts_jnp(peq, windows_t, window_valid, k: int,
 
 
 def _bpm_kernel(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int, m: int,
-                maxerr: int):
+                maxerr: int, eqsel: str = "slice"):
     wi = pl.program_id(1)
 
-    peq_cols = tuple(peq_ref[:, b][:, None] for b in range(4))  # (Ct,1) u32
+    peq_cols = _eq_cols(peq_ref, eqsel)
     Ct = peq_ref.shape[0]
     Wt = win_ref.shape[1]
 
@@ -189,7 +231,8 @@ def _bpm_kernel(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int, m: int,
         base = pl.multiple_of(g * 8, 8)
         rows = win_ref[pl.ds(base, 8), :].astype(jnp.int32)  # (8, Wt)
         for i in range(8):
-            carry = _bpm_step(rows[i, :][None, :], *carry, peq_cols, k)
+            carry = _bpm_step(rows[i, :][None, :], *carry, peq_cols, k,
+                              eqsel)
         return carry
 
     VP, VN, score, minsc = jax.lax.fori_loop(
@@ -213,12 +256,12 @@ def _round_up(x: int, mult: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ct", "wt", "interpret", "maxerr")
+    jax.jit, static_argnames=("k", "ct", "wt", "interpret", "maxerr", "eqsel")
 )
 def approx_counts_pallas(
     peq, windows_t, window_valid, k: int,
     ct: int = 32, wt: int = 512, interpret: bool = False,
-    maxerr: int = MAXERR,
+    maxerr: int = MAXERR, eqsel: str = "slice",
 ):
     """Pallas BPM: [C,4] peq x [m,W] windows -> [C] int32 counts.
 
@@ -238,7 +281,7 @@ def approx_counts_pallas(
     wvalid = window_valid.astype(jnp.int32).reshape(1, W)
 
     out = pl.pallas_call(
-        functools.partial(_bpm_kernel, k=k, m=m, maxerr=maxerr),
+        functools.partial(_bpm_kernel, k=k, m=m, maxerr=maxerr, eqsel=eqsel),
         out_shape=jax.ShapeDtypeStruct((C, 1), jnp.int32),
         grid=grid,
         in_specs=[
@@ -299,10 +342,11 @@ def _swar_consts(pack: int):
 
 
 def _bpm_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
-                       m: int, maxerr: int, pack: int):
+                       m: int, maxerr: int, pack: int,
+                       eqsel: str = "slice"):
     wi = pl.program_id(1)
 
-    peq_cols = tuple(peq_ref[:, b][:, None] for b in range(4))  # (Ctp,1) u32
+    peq_cols = _eq_cols(peq_ref, eqsel)
     Ctp = peq_ref.shape[0]
     Wt = win_ref.shape[1]
 
@@ -319,13 +363,7 @@ def _bpm_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
 
     def step(c_row, carry):
         VP, VN, score, mins = carry
-        Eq = jnp.where(
-            c_row == 0, peq_cols[0],
-            jnp.where(c_row == 1, peq_cols[1],
-                      jnp.where(c_row == 2, peq_cols[2],
-                                jnp.where(c_row == 3, peq_cols[3],
-                                          jnp.uint32(0)))),
-        )
+        Eq = _eq_select(c_row, peq_cols, eqsel)
         Xv = Eq | VN
         a = Eq & VP
         add = ((a & NH) + (VP & NH)) ^ ((a ^ VP) & H)
@@ -410,10 +448,11 @@ def _bpm_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
 
 
 def _nfa_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
-                       m: int, maxerr: int, pack: int):
+                       m: int, maxerr: int, pack: int,
+                       eqsel: str = "slice"):
     wi = pl.program_id(1)
 
-    peq_cols = tuple(peq_ref[:, b][:, None] for b in range(4))  # (Ctp,1) u32
+    peq_cols = _eq_cols(peq_ref, eqsel)
     Ctp = peq_ref.shape[0]
     Wt = win_ref.shape[1]
 
@@ -421,9 +460,18 @@ def _nfa_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
     ones = sum(1 << (fw * i) for i in range(pack))
     ONES = np.uint32(ones)
 
+    # Initial state R_d(0) bit i = [i < d] (first d pattern chars deletable
+    # before any text), truncated to the field width: for narrow fields
+    # (pack 8/16, fw <= maxerr possible at k <= 4) the untruncated value
+    # would spill into the neighbor field.  Truncation preserves the
+    # k <= maxerr degenerate seeding: bit k-1 survives (k <= fw always).
     R = tuple(
-        jnp.full((Ctp, Wt), np.uint32((((1 << d) - 1) * ones) & 0xFFFFFFFF),
-                 jnp.uint32)
+        jnp.full(
+            (Ctp, Wt),
+            np.uint32(((((1 << d) - 1) & ((1 << fw) - 1)) * ones)
+                      & 0xFFFFFFFF),
+            jnp.uint32,
+        )
         for d in range(maxerr + 1)
     )
     h = R  # count empty-substring alignments when k <= d (see header note)
@@ -434,13 +482,7 @@ def _nfa_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
         # No inter-field leak masks and no `| ONES` for d >= 2 -- see the
         # header note for why every leaked bit lands on a value-forced bit 0.
         R, h = carry
-        Eq = jnp.where(
-            c_row == 0, peq_cols[0],
-            jnp.where(c_row == 1, peq_cols[1],
-                      jnp.where(c_row == 2, peq_cols[2],
-                                jnp.where(c_row == 3, peq_cols[3],
-                                          jnp.uint32(0)))),
-        )
+        Eq = _eq_select(c_row, peq_cols, eqsel)
         S = [r << np.uint32(1) for r in R]  # shifted once, shared below
         Rn = [(S[0] | ONES) & Eq]
         for d in range(1, maxerr + 1):
@@ -482,17 +524,20 @@ def _nfa_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ct", "wt", "interpret", "maxerr", "pack", "algo"),
+    static_argnames=("k", "ct", "wt", "interpret", "maxerr", "pack", "algo",
+                     "eqsel"),
 )
 def approx_counts_pallas_packed(
     peq, windows_t, window_valid, k: int,
     ct: int = 32, wt: int = 512, interpret: bool = False,
     maxerr: int = MAXERR, pack: int = 2, algo: str = "myers",
+    eqsel: str = "slice",
 ):
     """SWAR-packed kernels; same contract as approx_counts_pallas.
 
-    ``pack`` candidates per uint32 word: 1 (k <= 32), 2 (k <= 16) or
-    4 (k <= 8); the Myers score fields hold the semi-global distance,
+    ``pack`` candidates per uint32 word with k <= 32 // pack: Myers
+    supports pack 2/4, the NFA (no carries, no guard bits) 1..16; the
+    Myers score fields hold the semi-global distance,
     bounded by k, so any window length is safe.  ``ct`` counts *candidates*
     (must be a multiple of ``pack``); the kernel runs ct//pack packed words
     per tile.  Measured optima (native/sweep_tiles.py): ct=32/wt=512 for
@@ -502,11 +547,13 @@ def approx_counts_pallas_packed(
     ``algo``: "myers" (score-tracking BPM) or "nfa" (level-NFA, fewer VPU
     ops for maxerr <= 2 -- see _nfa_kernel_packed header).
     """
-    assert pack in (1, 2, 4), pack
-    assert k <= 32 // pack, (k, pack)
     assert algo in ("myers", "nfa"), algo
-    assert algo == "nfa" or pack in (2, 4), (
-        "pack=1 Myers is approx_counts_pallas")
+    # The NFA has no carry-coupled ops, so fields pack with no guard bits
+    # down to fw=2 (pack=16, k <= 2); Myers needs the SWAR guard-bit layout
+    # validated for pack <= 4 only.
+    assert pack in ((1, 2, 4, 8, 16) if algo == "nfa" else (2, 4)), (
+        algo, pack, "pack=1 Myers is approx_counts_pallas")
+    assert k <= 32 // pack, (k, pack)
     C = peq.shape[0]
     m, W = windows_t.shape
     assert C % ct == 0 and W % wt == 0 and ct % pack == 0, (C, ct, W, wt)
@@ -526,13 +573,15 @@ def approx_counts_pallas_packed(
 
     # Scheduler hint: full-tile VPU ops per packed word per DP step (kernel
     # header comments), so per-step flops = ops_word * (C // pack) * W.
+    eqops = 4 if eqsel == "slice" else 8
     if algo == "nfa":
-        ops_word = 8 + (7 if maxerr >= 1 else 0) + 6 * max(0, maxerr - 1)
+        ops_word = eqops + (7 if maxerr >= 1 else 0) + 6 * max(0, maxerr - 1)
     else:
-        ops_word = 31 + 3 * pack  # incl. per-field min tracking
+        ops_word = 23 + eqops + 3 * pack  # incl. per-field min tracking
     body = _nfa_kernel_packed if algo == "nfa" else _bpm_kernel_packed
     out = pl.pallas_call(
-        functools.partial(body, k=k, m=m, maxerr=maxerr, pack=pack),
+        functools.partial(body, k=k, m=m, maxerr=maxerr, pack=pack,
+                          eqsel=eqsel),
         out_shape=jax.ShapeDtypeStruct((Cp, pack), jnp.int32),
         grid=grid,
         in_specs=[
@@ -570,7 +619,10 @@ def approx_counts(peq, windows_t, window_valid, k: int, maxerr: int = MAXERR,
     on_tpu = (jax.default_backend() not in ("cpu",)
               if use_pallas is None else use_pallas)
     if on_tpu:
-        pack = 4 if (k <= 8 and ct % 4 == 0) else (2 if k <= 16 else 1)
+        pack = 1
+        while (pack < 16 and k <= 32 // (2 * pack)
+               and ct % (2 * pack) == 0):
+            pack *= 2
         return approx_counts_pallas_packed(
             peq, windows_t, window_valid, k, maxerr=maxerr, pack=pack,
             ct=ct, wt=wt, interpret=interpret, algo="nfa",

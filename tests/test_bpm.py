@@ -262,12 +262,13 @@ class TestNfaPacked:
     both implement min-edit-distance level counting correctly."""
 
     @pytest.mark.parametrize("k,pack", [(2, 2), (5, 4), (8, 4), (15, 2),
-                                        (16, 2), (20, 1), (32, 1)])
+                                        (16, 2), (20, 1), (32, 1),
+                                        (2, 16), (3, 8), (4, 8)])
     @pytest.mark.parametrize("maxerr", [0, 1, 2, 3])
     def test_nfa_interpret_matches_jnp(self, k, pack, maxerr, rng):
         from approx_counter_tpu.kernels.bpm import approx_counts_pallas_packed
 
-        C, W, m = 8, 128, 40
+        C, W, m = max(8, pack), 128, 40
         pats = _random_patterns(rng, C, k)
         wins = rng.integers(0, 6, (W, m)).astype(np.uint8)  # incl. N + pad
         for w in range(0, W, 4):
@@ -282,11 +283,36 @@ class TestNfaPacked:
         )
         got = np.asarray(
             approx_counts_pallas_packed(
-                peq, wins.T.copy(), valid, k, ct=8, wt=128,
+                peq, wins.T.copy(), valid, k, ct=C, wt=128,
                 interpret=True, maxerr=maxerr, pack=pack, algo="nfa",
             )
         )
         np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("algo,pack", [("nfa", 2), ("nfa", 4),
+                                           ("myers", 2)])
+    def test_eqsel_variants_agree(self, algo, pack, rng):
+        """The bit-sliced Eq select (xor trick) must be bit-identical to
+        the nested-where select on every symbol value incl. N (4) and
+        pad (5)."""
+        from approx_counter_tpu.kernels.bpm import approx_counts_pallas_packed
+
+        k = 8 if pack == 4 else 16
+        C, W, m = 8, 128, 40
+        pats = _random_patterns(rng, C, k)
+        wins = rng.integers(0, 6, (W, m)).astype(np.uint8)
+        valid = np.ones(W, bool)
+        hi, lo = split_code(_codes(pats))
+        peq = build_peq(hi, lo, k)
+        kw = dict(ct=8, wt=128, interpret=True, pack=pack, algo=algo)
+        for maxerr in range(3):
+            a = np.asarray(approx_counts_pallas_packed(
+                peq, wins.T.copy(), valid, k, maxerr=maxerr,
+                eqsel="where", **kw))
+            b = np.asarray(approx_counts_pallas_packed(
+                peq, wins.T.copy(), valid, k, maxerr=maxerr,
+                eqsel="slice", **kw))
+            np.testing.assert_array_equal(a, b)
 
     @pytest.mark.parametrize("k,pack", [(8, 4), (16, 2), (32, 1)])
     def test_nfa_saturated_state_no_field_leak(self, k, pack, rng):
