@@ -33,8 +33,8 @@ def approx_count_rank(
     sel_lo,         # uint32 [cap]
     sel_valid,      # bool [cap]
     k: int,
-    ct: int,
-    wt: int,
+    ct: int | None,
+    wt: int | None,
     use_pallas: bool,
     interpret: bool = False,
     maxerr: int = 2,

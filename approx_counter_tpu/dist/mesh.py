@@ -53,8 +53,8 @@ def approx_counts_sharded(
     k: int,
     mesh: Mesh,
     axis: str = "data",
-    ct: int = 128,
-    wt: int = 256,
+    ct: int | None = None,
+    wt: int | None = None,
     use_pallas: bool = True,
     interpret: bool = False,
     maxerr: int = 2,
@@ -86,8 +86,8 @@ def make_full_step(
     k: int,
     cap: int,
     axis: str = "data",
-    ct: int = 128,
-    wt: int = 256,
+    ct: int | None = None,
+    wt: int | None = None,
     use_pallas: bool | None = None,
     n_forbidden: int = 0,
     use_solid: bool = False,
@@ -123,7 +123,8 @@ def make_full_step(
         windows_t = jnp.transpose(windows, (1, 0))
         counts = approx_counts_sharded(
             peq, windows_t, window_valid, k, mesh=mesh, axis=axis,
-            ct=min(ct, cap), wt=wt, use_pallas=use_pallas, maxerr=maxerr,
+            ct=min(ct, cap) if ct is not None else None,
+            wt=wt, use_pallas=use_pallas, maxerr=maxerr,
         )
         a_hi, a_lo, a_cnt, a_val = rank_with_zero_counts(
             out["sel_hi"], out["sel_lo"], counts, out["sel_valid"], k

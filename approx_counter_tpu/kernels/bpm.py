@@ -34,15 +34,24 @@ SURVEY.md §3C / tests).
 Performance (TPU v5e, k=16, m=101/104, 512x40960 pairs): unpacked Myers
 ~27 ms/call = 0.77 Gpairs/s; SWAR packed-pair Myers ~10.4 ms = 2.0
 Gpairs/s; the mask-free level-NFA below is the production kernel --
-7.6 ms = 2.75 Gpairs/s = 0.28 Tcell/s at maxerr=2 (3.3 / 3.6 at maxerr
-1 / 0) at the swept-optimal tile ct=128/wt=256 (native/sweep_tiles.py).
+2.75 Gpairs/s = 0.28 Tcell/s at maxerr=2 (3.3 / 3.6 at maxerr 1 / 0)
+with the nested-where Eq select at ct=128/wt=256.  The bit-sliced Eq
+select ("slice" in _eq_select) cuts the 8-op compare/select chain to 4
+logic ops and is the tuned default at maxerr <= 2: +16% / +11% at
+maxerr 0 / 1, +2% at 2 (with ct=64); at maxerr=3 nested-where stays
+faster -- its compare/selects issue on a different VPU pipe than the
+level updates' logic ops, which saturate at high maxerr (interleaved
+best-of-2 A/B, native/sweep_eqsel*.py; absolute Gpairs/s drifts ~15%
+between processes, ratios are stable).  Per-maxerr (eqsel, ct, wt)
+defaults live in _TUNE.
 Speed-of-light: the kernel is VPU-bound, ~4 vreg-ops/cycle multi-issue, so
 per-step op count converts ~1:1 to throughput: ~23 full-tile ops per
-packed NFA step ~= 11.5/candidate -> ~3.2 Gpairs/s ideal at m=104; the
-2.75 measured is ~85% of that ceiling.  Measured variants that did NOT
-help: pre-converted int32 windows (-5%), 2-bit mux Eq select
-(noise-level), unsigned score (Mosaic lacks minui).  pack=4 (8-bit fields,
-k <= 8) cuts per-candidate ops a further ~40% for small k.
+packed slice-NFA step ~= 11.5/candidate -> ~3.2 Gpairs/s ideal at m=104;
+measured is ~80-85% of that ceiling.  Measured variants that did NOT
+help: pre-converted int32 windows (-5%), unsigned score (Mosaic lacks
+minui), batching the slice row math per 8-row group (noise).  pack=4
+(8-bit fields, k <= 8) cuts per-candidate ops a further ~40% for small k;
+the NFA packs to 8/16 fields for k <= 4/2 (no carries, no guard bits).
 """
 
 from __future__ import annotations
@@ -113,9 +122,11 @@ def _eq_select(c_row, peq_cols, eqsel: str):
     """
     if eqsel == "slice":
         mask0, mask1 = peq_cols
-        x0 = ((c_row & 1) - 1).astype(jnp.uint32)
-        x1 = (((c_row >> 1) & 1) - 1).astype(jnp.uint32)
-        vm = ((c_row - 4) >> 31).astype(jnp.uint32)
+        # c_row is either the raw int32 base row or the (x0, x1, vm)
+        # masks precomputed for a whole 8-row group (three (8, Wt) vector
+        # ops instead of 8 x 3 per-row ops -- see the group loops).
+        x0, x1, vm = (c_row if isinstance(c_row, tuple)
+                      else _slice_rows(c_row))
         return (mask0 ^ x0) & (mask1 ^ x1) & vm
     return jnp.where(
         c_row == 0,
@@ -129,12 +140,34 @@ def _eq_select(c_row, peq_cols, eqsel: str):
     )
 
 
+def _slice_rows(c):
+    """(x0, x1, vm) row masks for the "slice" Eq select, from int32 text
+    bases ``c`` of any row shape ((1, Wt) per step, or (8, Wt) to batch a
+    whole group's row math into three vector ops)."""
+    x0 = ((c & 1) - 1).astype(jnp.uint32)
+    x1 = (((c >> 1) & 1) - 1).astype(jnp.uint32)
+    vm = ((c - 4) >> 31).astype(jnp.uint32)
+    return x0, x1, vm
+
+
 def _eq_cols(peq_ref, eqsel: str):
     """Per-tile Eq-select constants from the (Ctp, 4) peq block."""
     cols = tuple(peq_ref[:, b][:, None] for b in range(4))  # (Ctp, 1) u32
     if eqsel == "slice":
         return (cols[1] | cols[3], cols[2] | cols[3])
     return cols
+
+
+def _group_rows(rows, eqsel: str):
+    """Per-step Eq-select inputs for one 8-row text group.
+
+    For "slice", the row masks for all 8 steps are computed in three
+    (8, Wt) vector ops up front; "where" consumes the raw base rows."""
+    if eqsel == "slice":
+        X0, X1, VM = _slice_rows(rows)
+        return [(X0[i][None, :], X1[i][None, :], VM[i][None, :])
+                for i in range(8)]
+    return [rows[i, :][None, :] for i in range(8)]
 
 
 def _bpm_step(c_row, VP, VN, score, minsc, peq_cols, k: int,
@@ -230,9 +263,8 @@ def _bpm_kernel(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int, m: int,
     def group(g, carry):
         base = pl.multiple_of(g * 8, 8)
         rows = win_ref[pl.ds(base, 8), :].astype(jnp.int32)  # (8, Wt)
-        for i in range(8):
-            carry = _bpm_step(rows[i, :][None, :], *carry, peq_cols, k,
-                              eqsel)
+        for cr in _group_rows(rows, eqsel):
+            carry = _bpm_step(cr, *carry, peq_cols, k, eqsel)
         return carry
 
     VP, VN, score, minsc = jax.lax.fori_loop(
@@ -386,8 +418,8 @@ def _bpm_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
     def group(g, carry):
         base = pl.multiple_of(g * 8, 8)
         rows = win_ref[pl.ds(base, 8), :].astype(jnp.int32)  # (8, Wt)
-        for i in range(8):
-            carry = step(rows[i, :][None, :], carry)
+        for cr in _group_rows(rows, eqsel):
+            carry = step(cr, carry)
         return carry
 
     VP, VN, score, mins = jax.lax.fori_loop(
@@ -500,8 +532,8 @@ def _nfa_kernel_packed(peq_ref, win_ref, wvalid_ref, out_ref, *, k: int,
     def group(g, carry):
         base = pl.multiple_of(g * 8, 8)
         rows = win_ref[pl.ds(base, 8), :].astype(jnp.int32)  # (8, Wt)
-        for i in range(8):
-            carry = step(rows[i, :][None, :], carry)
+        for cr in _group_rows(rows, eqsel):
+            carry = step(cr, carry)
         return carry
 
     R, h = jax.lax.fori_loop(0, m // 8, group, (R, h))
@@ -604,27 +636,53 @@ def approx_counts_pallas_packed(
     return out.reshape(C)  # fields interleave back to candidate order
 
 
+# Tuned (eqsel, ct, wt) per error bound: interleaved A/B best-of-2 on v5e,
+# k=16 pack=2 (native/sweep_eqsel*.py).  The bit-sliced Eq select wins
+# clearly at maxerr <= 1 (+16%/+11%) and narrowly at 2 (with the smaller
+# candidate tile); at maxerr=3 the nested-where select is faster -- its
+# compare/selects issue on a different VPU pipe than the level updates'
+# logic ops, which dominate at high maxerr.
+_TUNE = {
+    0: ("slice", 128, 256),
+    1: ("slice", 128, 256),
+    2: ("slice", 64, 256),
+    3: ("where", 128, 256),
+}
+
+
 def approx_counts(peq, windows_t, window_valid, k: int, maxerr: int = MAXERR,
-                  use_pallas: bool | None = None, ct: int = 128,
-                  wt: int = 256, interpret: bool = False):
+                  use_pallas: bool | None = None, ct: int | None = None,
+                  wt: int | None = None, interpret: bool = False):
     """Dispatch to the fastest kernel for the configuration.
 
     On TPU: the level-NFA kernel at every error bound -- with the leak
-    masks gone it beats the Myers kernels everywhere (measured v5e, k=16
-    pack=2, ct=128/wt=256: 3.6 / 3.3 / 2.75 / 2.0 Gpairs/s at maxerr
-    0/1/2/3; packed Myers manages 2.0 at maxerr=3 and less below).  The
-    Myers kernels remain as differential-test alternates.  jnp elsewhere
-    (CPU tests; ct/wt/interpret are ignored on the jnp path).  Packing:
-    4 candidates/word for k <= 8, 2 for k <= 16, 1 for k <= 32."""
+    masks gone it beats the Myers kernels everywhere; the Myers kernels
+    remain as differential-test alternates.  ``ct``/``wt`` default from
+    the measured _TUNE table (pass explicit values to override, e.g. in
+    sweeps).  jnp elsewhere (CPU tests; ct/wt/interpret are ignored on
+    the jnp path).  Packing: the largest power-of-two ``pack`` with
+    k <= 32 // pack that divides ``ct`` (2 candidates/word at the k=16
+    default, up to 16 at k <= 2)."""
     on_tpu = (jax.default_backend() not in ("cpu",)
               if use_pallas is None else use_pallas)
     if on_tpu:
+        eqsel, ct_t, wt_t = _TUNE[maxerr]
+        C = peq.shape[0]
+        W = windows_t.shape[1]
+        if ct is None:
+            ct = min(ct_t, C)  # C is a tile-rounded cap (pipeline.py)
+            while C % ct:      # odd caps (sharded shards, tests): shrink
+                ct //= 2
+        if wt is None:
+            wt = min(wt_t, W)
+            while W % wt:
+                wt //= 2
         pack = 1
         while (pack < 16 and k <= 32 // (2 * pack)
                and ct % (2 * pack) == 0):
             pack *= 2
         return approx_counts_pallas_packed(
             peq, windows_t, window_valid, k, maxerr=maxerr, pack=pack,
-            ct=ct, wt=wt, interpret=interpret, algo="nfa",
+            ct=ct, wt=wt, interpret=interpret, algo="nfa", eqsel=eqsel,
         )
     return approx_counts_jnp(peq, windows_t, window_valid, k, maxerr=maxerr)

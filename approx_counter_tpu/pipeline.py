@@ -36,9 +36,10 @@ from approx_counter_tpu.io.stream import stream_sample_windows
 from approx_counter_tpu.params import Params
 from approx_counter_tpu.sample.sampler import sample_windows
 
-#: Kernel tile sizes (candidates x windows); see kernels/bpm.py layout notes.
-CT, WT = 128, 256  # v5e sweep optimum for the level-NFA kernel
-#                    (native/sweep_tiles.py; ct=32/wt=512 is ~3% slower)
+#: Candidate-cap rounding granularity; actual kernel tile sizes now come
+#: from the per-maxerr tuned table in kernels/bpm.py (_TUNE) -- CT here
+#: only guarantees the cap divides every tuned ct.
+CT, WT = 128, 256
 
 
 def _round_up(x: int, m: int) -> int:
@@ -179,7 +180,7 @@ class Engine:
             )
             a_hi, a_lo, a_cnt, a_val = approx_count_rank(
                 windows, n_valid, ex["sel_hi"], ex["sel_lo"],
-                ex["sel_valid"], prm.k, ct=min(CT, cap), wt=WT,
+                ex["sel_valid"], prm.k, ct=None, wt=None,
                 use_pallas=self.use_pallas, maxerr=prm.max_error,
             )
             return dict(
@@ -217,8 +218,8 @@ class Engine:
             sel_lo,
             sel_valid,
             prm.k,
-            ct=min(CT, cap),
-            wt=WT,
+            ct=None,
+            wt=None,
             use_pallas=self.use_pallas,
             maxerr=prm.max_error,
         )

@@ -109,8 +109,8 @@ def bench_tpu() -> float:
 
     def run(i):
         win = wts[i % NBUF]
-        return approx_counts(peq, win, wv, K, use_pallas=use_pallas,
-                             ct=128, wt=256)
+        # ct/wt=None -> the production dispatch's tuned tile/eqsel table
+        return approx_counts(peq, win, wv, K, use_pallas=use_pallas)
 
     dt = time_chained(run, ITERS)
     pairs_per_s = C * W / dt
