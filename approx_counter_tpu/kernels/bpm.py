@@ -33,25 +33,26 @@ SURVEY.md §3C / tests).
 
 Performance (TPU v5e, k=16, m=101/104, 512x40960 pairs): unpacked Myers
 ~27 ms/call = 0.77 Gpairs/s; SWAR packed-pair Myers ~10.4 ms = 2.0
-Gpairs/s; the mask-free level-NFA below is the production kernel --
-2.75 Gpairs/s = 0.28 Tcell/s at maxerr=2 (3.3 / 3.6 at maxerr 1 / 0)
-with the nested-where Eq select at ct=128/wt=256.  The bit-sliced Eq
-select ("slice" in _eq_select) cuts the 8-op compare/select chain to 4
-logic ops and is the tuned default at maxerr <= 2: +16% / +11% at
-maxerr 0 / 1, +2% at 2 (with ct=64); at maxerr=3 nested-where stays
-faster -- its compare/selects issue on a different VPU pipe than the
-level updates' logic ops, which saturate at high maxerr (interleaved
-best-of-2 A/B, native/sweep_eqsel*.py; absolute Gpairs/s drifts ~15%
-between processes, ratios are stable).  Per-maxerr (eqsel, ct, wt)
-defaults live in _TUNE.
-Speed-of-light: the kernel is VPU-bound, ~4 vreg-ops/cycle multi-issue, so
-per-step op count converts ~1:1 to throughput: ~23 full-tile ops per
-packed slice-NFA step ~= 11.5/candidate -> ~3.2 Gpairs/s ideal at m=104;
-measured is ~80-85% of that ceiling.  Measured variants that did NOT
-help: pre-converted int32 windows (-5%), unsigned score (Mosaic lacks
-minui), batching the slice row math per 8-row group (noise).  pack=4
-(8-bit fields, k <= 8) cuts per-candidate ops a further ~40% for small k;
-the NFA packs to 8/16 fields for k <= 4/2 (no carries, no guard bits).
+Gpairs/s; mask-free packed-pair level-NFA 2.4-2.8 Gpairs/s at maxerr=2;
+the **candidate-bit-sliced level-NFA** (_nfa_kernel_sliced) is the
+production kernel -- ~3.7 Gpairs/s = 0.38 Tcell/s at maxerr=2 (5.6 / 4.4
+/ 3.2 at maxerr 0 / 1 / 3) at ctw=8/wt=256, +55%/+33%/+39%/+59% over the
+packed NFA at maxerr 2/0/1/3 (interleaved best-of-2 A/B,
+native/sweep_sliced.py; absolute Gpairs/s drifts ~15% between processes,
+ratios are stable).
+Speed-of-light: every kernel here is VPU-bound, so per-step full-tile op
+count converts ~1:1 to throughput.  The sliced layout wins by deleting
+ops: NFA position shifts become index renames and 32 candidates share
+each word, leaving ~6.2 ops per (pair, step) vs ~11.5 for the packed-pair
+NFA (whose own history: the bit-sliced Eq select cut 8 compare/selects
+to 4 logic ops, leak masks were proven removable -- see the kernel
+headers; per-maxerr packed tuning lives in _TUNE).  Measured variants
+that did NOT help: pre-converted int32 windows (-5%), unsigned score
+(Mosaic lacks minui), batching the slice row math per 8-row group
+(noise), wt >= 512 sliced tiles (-10%, state no longer VMEM-bank
+friendly).  For the packed kernels, pack=4 (8-bit fields, k <= 8) cuts
+per-candidate ops ~40% for small k; the NFA packs to 8/16 fields for
+k <= 4/2 (no carries, no guard bits).
 """
 
 from __future__ import annotations
@@ -636,10 +637,207 @@ def approx_counts_pallas_packed(
     return out.reshape(C)  # fields interleave back to candidate order
 
 
-# Tuned (eqsel, ct, wt) per error bound: interleaved A/B best-of-2 on v5e,
-# k=16 pack=2 (native/sweep_eqsel*.py).  The bit-sliced Eq select wins
-# clearly at maxerr <= 1 (+16%/+11%) and narrowly at 2 (with the smaller
-# candidate tile); at maxerr=3 the nested-where select is faster -- its
+# ---------------------------------------------------------------------------
+# Candidate-bit-sliced level-NFA: the fully transposed formulation.  Instead
+# of one word per candidate holding k NFA state bits (shift = VPU op), word
+# bit c holds ONE state bit of candidate c -- 32 candidates per uint32, with
+# one (Ctw, Wt) array per (error level d, pattern position i).  The NFA's
+# "shift by one position" becomes an index rename (free), so the per-step
+# update costs, per 32-candidate word:
+#
+#   Eq[i] = ((P0[i] ^ x0) & (P1[i] ^ x1)) & vm          4 ops x k
+#   Rn_0[i] = R_0[i-1] & Eq[i]   (Rn_0[0] = Eq[0])      k-1 ops
+#   Rn_d[i] = (R_d[i-1] & Eq[i]) | R_{d-1}[i]
+#           | R_{d-1}[i-1] | Rn_{d-1}[i-1]              4(k-d) ops per level
+#   h_d |= Rn_d[k-1]                                    1 op per level
+#
+# where P0[i]/P1[i] are (Ctw, 1) *candidate* bit-planes (bit c = bit 0/1 of
+# candidate c's base at position i -- build_sliced_planes) and x0/x1/vm are
+# the same (1, Wt) text-row masks as the packed kernels' "slice" Eq select
+# (_slice_rows).  Positions i < d are all-ones at every step (i+1 <= d
+# leading pattern chars are deletable), so they are compile-time constants,
+# never carried or updated; levels d > k-1 are entirely constant (hit
+# always) and fold into a per-window additive term.
+#
+# At k=16/maxerr=2 this is ~197 ops per step per 32-candidate word =
+# ~6.2 ops per (pair, step) vs ~11.5 for the packed-pair NFA -- a ~1.8x
+# lower VPU-op floor, at the price of 3k live state arrays (streamed
+# from VMEM by Mosaic; the fori_loop carry is a pytree of ~45 (Ctw, Wt)
+# tiles).  Gains shrink at lower maxerr (the 4k Eq ops are the floor):
+# ~1.4x at maxerr=0, ~1.25x at 1, ~1.5x at 3.
+# ---------------------------------------------------------------------------
+
+
+def build_sliced_planes(peq, k: int):
+    """Candidate bit-planes for the sliced kernel: [C, 4] peq -> (P0, P1),
+    each [C // 32, k] uint32.
+
+    Bit c of ``P0[w, i]`` is bit 0 of candidate (32w + c)'s base at pattern
+    position i (i.e. base in {C, T}); ``P1`` is bit 1 (base in {G, T}).
+    C must be a multiple of 32 (callers pad with zero peq rows).
+    """
+    C = peq.shape[0]
+    assert C % 32 == 0, C
+    mask0 = (peq[:, 1] | peq[:, 3]).astype(jnp.uint32)  # bit i = bit0(base_i)
+    mask1 = (peq[:, 2] | peq[:, 3]).astype(jnp.uint32)
+
+    def bitslice(mw):
+        bits = (mw[:, None] >> jnp.arange(k, dtype=jnp.uint32)[None, :]) & (
+            jnp.uint32(1)
+        )  # [C, k]
+        sh = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
+        return jnp.sum(
+            bits.reshape(C // 32, 32, k) << sh, axis=1, dtype=jnp.uint32
+        )
+
+    return bitslice(mask0), bitslice(mask1)
+
+
+def _nfa_kernel_sliced(p0_ref, p1_ref, win_ref, wvalid_ref, out_ref, *,
+                       k: int, m: int, maxerr: int):
+    wi = pl.program_id(1)
+
+    Ctw = p0_ref.shape[0]
+    Wt = win_ref.shape[1]
+    P0 = [p0_ref[:, i][:, None] for i in range(k)]  # (Ctw, 1) u32 per pos
+    P1 = [p1_ref[:, i][:, None] for i in range(k)]
+
+    n_levels = min(maxerr, k - 1) + 1   # levels with any variable position
+    n_const = maxerr + 1 - n_levels     # all-constant levels (k <= d)
+
+    zeros = jnp.zeros((Ctw, Wt), jnp.uint32)
+    # R[d] holds only the variable positions i in [d, k-1] (index i - d);
+    # i < d is the all-ones constant region (see header).  Init: R_d(0)
+    # bit i = [i < d] -> variable region starts all-zero.
+    R = tuple(tuple(zeros for _ in range(d, k)) for d in range(n_levels))
+    h = tuple(zeros for _ in range(n_levels))  # sticky bit k-1 per level
+
+    assert m % 8 == 0, m  # caller pads; see _bpm_kernel group-loading note
+
+    def step(crow, carry):
+        R, h = carry
+        x0, x1, vm = crow
+        Eq = [((p0 ^ x0) & (p1 ^ x1)) & vm for p0, p1 in zip(P0, P1)]
+        Rn0 = [Eq[0]]
+        for i in range(1, k):
+            Rn0.append(R[0][i - 1] & Eq[i])
+        newR = [tuple(Rn0)]
+        for d in range(1, n_levels):
+            prev, below, belown = R[d], R[d - 1], newR[d - 1]
+            cur = []
+            for i in range(d, k):
+                # match: R_d[i-1] & Eq[i]; R_d[d-1] is the constant region
+                match = Eq[i] if i == d else (prev[i - 1 - d] & Eq[i])
+                # insertion R_{d-1}[i], substitution R_{d-1}[i-1],
+                # deletion Rn_{d-1}[i-1] -- all variable at level d-1
+                cur.append(match | below[i - (d - 1)]
+                           | below[i - d] | belown[i - d])
+            newR.append(tuple(cur))
+        newh = tuple(hh | nr[k - 1 - d] for d, (hh, nr) in
+                     enumerate(zip(h, newR)))
+        return tuple(newR), newh
+
+    def group(g, carry):
+        base = pl.multiple_of(g * 8, 8)
+        rows = win_ref[pl.ds(base, 8), :].astype(jnp.int32)  # (8, Wt)
+        for cr in _group_rows(rows, "slice"):
+            carry = step(cr, carry)
+        return carry
+
+    R, h = jax.lax.fori_loop(0, m // 8, group, (R, h))
+    wv = wvalid_ref[:].astype(jnp.int32)  # (1, Wt)
+    cols = []
+    for c in range(32):
+        hits = zeros.astype(jnp.int32)
+        for hd in h:
+            hits = hits + ((hd >> np.uint32(c)) & np.uint32(1)).astype(
+                jnp.int32)
+        cols.append(jnp.sum(hits * wv, axis=1, keepdims=True))  # (Ctw, 1)
+    partial = jnp.concatenate(cols, axis=1)  # (Ctw, 32)
+    if n_const:
+        # k <= d levels hit on every valid window (empty-substring align)
+        partial = partial + n_const * jnp.sum(wv, axis=1, keepdims=True)
+
+    @pl.when(wi == 0)
+    def _():
+        out_ref[:] = partial
+
+    @pl.when(wi != 0)
+    def _():
+        out_ref[:] = out_ref[:] + partial
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "ctw", "wt", "interpret", "maxerr")
+)
+def approx_counts_pallas_sliced(
+    peq, windows_t, window_valid, k: int,
+    ctw: int = 8, wt: int = 256, interpret: bool = False,
+    maxerr: int = MAXERR,
+):
+    """Candidate-bit-sliced NFA; same contract as approx_counts_pallas.
+
+    ``ctw`` is the candidate-*word* tile (32 candidates each); C is padded
+    internally to a multiple of 32*ctw with zero peq rows (in the bit-plane
+    encoding a zero row decodes as poly-A, so pad rows compute garbage
+    counts -- the padded tail is sliced off the result, and unlike the
+    packed kernels callers need not pre-pad).  W must divide ``wt``.
+    """
+    C = peq.shape[0]
+    m, W = windows_t.shape
+    assert W % wt == 0, (W, wt)
+    # Mosaic block rule: the (ctw, k) plane block's sublane dim must be
+    # 8-divisible (the lane dim k always equals the full array dim).
+    assert ctw % 8 == 0 or interpret, ctw
+    Cpad = _round_up(C, 32 * ctw)
+    if Cpad != C:
+        peq = jnp.pad(peq, ((0, Cpad - C), (0, 0)))
+    P0, P1 = build_sliced_planes(peq, k)  # [Cw, k]
+    Cw = Cpad // 32
+    if m % 8:  # pad text to the kernel's 8-row group size (symbol 5)
+        windows_t = jnp.pad(windows_t, ((0, 8 - m % 8), (0, 0)),
+                            constant_values=np.uint8(5))
+        m = windows_t.shape[0]
+    grid = (Cw // ctw, W // wt)
+    wvalid = window_valid.astype(jnp.int32).reshape(1, W)
+
+    n_levels = min(maxerr, k - 1) + 1
+    ops = (4 * k + (k - 1)
+           + sum(4 * (k - d) for d in range(1, n_levels)) + n_levels)
+    out = pl.pallas_call(
+        functools.partial(_nfa_kernel_sliced, k=k, m=m, maxerr=maxerr),
+        out_shape=jax.ShapeDtypeStruct((Cw, 32), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ctw, k), lambda ci, wi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ctw, k), lambda ci, wi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, wt), lambda ci, wi: (0, wi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wt), lambda ci, wi: (0, wi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ctw, 32), lambda ci, wi: (ci, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=ops * Cw * W * m,
+            bytes_accessed=Cw * 8 * k + m * W + 4 * Cpad,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(P0, P1, windows_t, wvalid)
+    # bit c of word w is candidate 32w + c -> row-major reshape restores
+    # candidate order
+    return out.reshape(Cpad)[:C]
+
+
+# Tuned (eqsel, ct, wt) per error bound for the PACKED kernels (kept for
+# the sweep scripts and as differential alternates; the production dispatch
+# below uses the sliced kernel): interleaved A/B best-of-2 on v5e, k=16
+# pack=2 (native/sweep_eqsel*.py).  The bit-sliced Eq select wins clearly
+# at maxerr <= 1 (+16%/+11%) and narrowly at 2 (with the smaller candidate
+# tile); at maxerr=3 the nested-where select is faster -- its
 # compare/selects issue on a different VPU pipe than the level updates'
 # logic ops, which dominate at high maxerr.
 _TUNE = {
@@ -655,34 +853,35 @@ def approx_counts(peq, windows_t, window_valid, k: int, maxerr: int = MAXERR,
                   wt: int | None = None, interpret: bool = False):
     """Dispatch to the fastest kernel for the configuration.
 
-    On TPU: the level-NFA kernel at every error bound -- with the leak
-    masks gone it beats the Myers kernels everywhere; the Myers kernels
-    remain as differential-test alternates.  ``ct``/``wt`` default from
-    the measured _TUNE table (pass explicit values to override, e.g. in
-    sweeps).  jnp elsewhere (CPU tests; ct/wt/interpret are ignored on
-    the jnp path).  Packing: the largest power-of-two ``pack`` with
-    k <= 32 // pack that divides ``ct`` (2 candidates/word at the k=16
-    default, up to 16 at k <= 2)."""
+    On TPU: the candidate-bit-sliced level-NFA at every error bound and
+    every k -- measured fastest across the board (native/sweep_sliced.py,
+    interleaved A/B on v5e, k=16: +55% over the packed-pair NFA at
+    maxerr=2, +33/+39/+59% at 0/1/3; tile optimum ctw=8, wt=256).  The
+    packed/unpacked Myers and packed NFA kernels remain as differential
+    alternates and for sweeps.  jnp elsewhere (CPU tests; ct/wt/interpret
+    are ignored on the jnp path).
+
+    ``ct`` counts candidates for compatibility with the packed kernels'
+    signature; the sliced kernel tiles candidate *words*, so ct maps to
+    ctw = ct // 32 (minimum 1, rounded to the Mosaic-required multiple of
+    8 outside interpret mode).  C needs no pre-padding (the sliced wrapper
+    pads internally)."""
     on_tpu = (jax.default_backend() not in ("cpu",)
               if use_pallas is None else use_pallas)
     if on_tpu:
-        eqsel, ct_t, wt_t = _TUNE[maxerr]
-        C = peq.shape[0]
         W = windows_t.shape[1]
-        if ct is None:
-            ct = min(ct_t, C)  # C is a tile-rounded cap (pipeline.py)
-            while C % ct:      # odd caps (sharded shards, tests): shrink
-                ct //= 2
         if wt is None:
-            wt = min(wt_t, W)
-            while W % wt:
+            wt = min(256, W)
+            while W % wt:  # odd widths (sharded shards, tests): shrink
                 wt //= 2
-        pack = 1
-        while (pack < 16 and k <= 32 // (2 * pack)
-               and ct % (2 * pack) == 0):
-            pack *= 2
-        return approx_counts_pallas_packed(
-            peq, windows_t, window_valid, k, maxerr=maxerr, pack=pack,
-            ct=ct, wt=wt, interpret=interpret, algo="nfa", eqsel=eqsel,
+        if ct is None:
+            ctw = 8
+        else:
+            ctw = max(1, ct // 32)
+            if not interpret and ctw % 8:
+                ctw = 8
+        return approx_counts_pallas_sliced(
+            peq, windows_t, window_valid, k, maxerr=maxerr,
+            ctw=ctw, wt=wt, interpret=interpret,
         )
     return approx_counts_jnp(peq, windows_t, window_valid, k, maxerr=maxerr)

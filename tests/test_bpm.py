@@ -370,6 +370,60 @@ class TestNfaPacked:
         assert (np.asarray(want) >= 2 * W).all()
 
 
+class TestNfaSliced:
+    """Candidate-bit-sliced NFA (32 candidates/word, one array per (level,
+    position)) vs the jnp Myers reference -- again independent algorithms
+    AND an independent data layout from the packed NFA."""
+
+    @pytest.mark.parametrize("k", [2, 3, 5, 16, 31, 32])
+    @pytest.mark.parametrize("maxerr", [0, 1, 2, 3])
+    def test_sliced_interpret_matches_jnp(self, k, maxerr, rng):
+        from approx_counter_tpu.kernels.bpm import approx_counts_pallas_sliced
+
+        C, W, m = 40, 128, 40  # C=40: exercises the internal pad-to-32*ctw
+        pats = _random_patterns(rng, C, k)
+        wins = rng.integers(0, 6, (W, m)).astype(np.uint8)  # incl. N + pad
+        for w in range(0, W, 4):
+            pos = rng.integers(0, m - k + 1)
+            wins[w, pos : pos + k] = pats[w % C]
+        valid = np.ones(W, bool)
+        valid[-7:] = False
+        hi, lo = split_code(_codes(pats))
+        peq = build_peq(hi, lo, k)
+        want = np.asarray(
+            approx_counts_jnp(peq, wins.T.copy(), valid, k, maxerr=maxerr)
+        )
+        got = np.asarray(
+            approx_counts_pallas_sliced(
+                peq, wins.T.copy(), valid, k, ctw=1, wt=128,
+                interpret=True, maxerr=maxerr,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_sliced_multi_word_tiles(self, rng):
+        """ctw > 1 (several 32-candidate words per tile) and W > wt (the
+        cross-window-tile output accumulation)."""
+        from approx_counter_tpu.kernels.bpm import approx_counts_pallas_sliced
+
+        k, C, W, m = 16, 128, 256, 33  # m % 8 != 0: text pad path
+        pats = _random_patterns(rng, C, k)
+        wins = rng.integers(0, 5, (W, m)).astype(np.uint8)
+        for w in range(0, W, 3):
+            pos = rng.integers(0, m - k + 1)
+            wins[w, pos : pos + k] = pats[w % C]
+        valid = np.ones(W, bool)
+        hi, lo = split_code(_codes(pats))
+        peq = build_peq(hi, lo, k)
+        want = np.asarray(approx_counts_jnp(peq, wins.T.copy(), valid, k))
+        got = np.asarray(
+            approx_counts_pallas_sliced(
+                peq, wins.T.copy(), valid, k, ctw=2, wt=128, interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+
 class TestApproxCountRank:
     """The device glue around the kernel: peq build, transpose, kernel
     dispatch (pallas interpret), CompareCount re-rank with the zero-count
