@@ -47,6 +47,37 @@ def test_approx_counts_mesh_invariant(n_dev, rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sliced_kernel_under_shard_map(n_dev, rng):
+    """The real multi-chip compute path: the production (sliced Pallas)
+    kernel inside shard_map + psum, interpret-mode on the CPU mesh --
+    validates specs/shapes of the per-shard pallas_call, not just the jnp
+    fallback the other mesh tests use."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough virtual devices")
+    k, C, W, m = 16, 40, 128, 40
+    pats = [rng.integers(0, 4, k).astype(np.uint8) for _ in range(C)]
+    codes = np.array([encode_kmer(p) for p in pats], dtype=np.uint64)
+    wins = rng.integers(0, 6, (W, m)).astype(np.uint8)  # incl. N + pad
+    for w in range(0, W, 4):
+        pos = rng.integers(0, m - k + 1)
+        wins[w, pos : pos + k] = pats[w % C]
+    valid = np.ones(W, bool)
+    valid[-5:] = False
+    hi, lo = split_code(codes)
+    peq = build_peq(hi, lo, k)
+
+    want = np.asarray(approx_counts_jnp(peq, wins.T.copy(), valid, k))
+    mesh = data_mesh(jax.devices()[:n_dev])
+    got = np.asarray(
+        approx_counts_sharded(
+            peq, wins.T.copy(), valid, k, mesh=mesh,
+            use_pallas=True, interpret=True, wt=W // n_dev,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_exact_count_sharded_matches_single(rng):
     """jit auto-SPMD over sharded windows == single-device result."""
     from jax.sharding import NamedSharding, PartitionSpec as P
