@@ -191,6 +191,12 @@ def exact_count_select_rows(
     # the lead key (count = P - (key1 >> db), or ~k1 in the fallback), and
     # dropping the extra 3.5M-element operand measurably shrinks the
     # ranking sort's data movement.
+    # Rejected design: lax.top_k on key1 with a tie-slack then a small
+    # re-sort.  The boundary tie class is unbounded (count-1 k-mers sharing
+    # a dimer sum number in the millions), and top_k would pick an
+    # arbitrary subset of it, breaking the code-desc tie-break that defines
+    # output bytes.  The full sort is the only shape that preserves
+    # CompareCount exactly.
     db = max_dimer_sum(k).bit_length()
     dimer = dimer_sum(s_hi, s_lo, k).astype(jnp.uint32)
     if P < (1 << (32 - db)):

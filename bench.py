@@ -1,10 +1,11 @@
 """Benchmark harness (driver contract: print ONE JSON line).
 
 North-star metric (BASELINE.json): read-windows x candidate-k-mers scored
-per second per chip at k=16, ed<=2 -- i.e. the Pallas Myers-BPM kernel on
-the default workload shape (512 candidates x 40960 windows x 101-base
-windows; the reference's defaults are 500 candidates x 40000 windows,
-approx_counter.cpp:708-710, padded to tile multiples).
+per second per chip at k=16, ed<=2 -- i.e. the production Pallas kernel
+(candidate-bit-sliced level-NFA, kernels/bpm.py) on the default workload
+shape (512 candidates x 40960 windows x 101-base windows; the reference's
+defaults are 500 candidates x 40000 windows, approx_counter.cpp:708-710,
+padded to tile multiples).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 baseline is an optimized CPU stand-in for its hot loop -- the same Myers
@@ -109,7 +110,7 @@ def bench_tpu() -> float:
 
     def run(i):
         win = wts[i % NBUF]
-        # ct/wt=None -> the production dispatch's tuned tile/eqsel table
+        # ct/wt=None -> the production dispatch (sliced NFA, tuned tiles)
         return approx_counts(peq, win, wv, K, use_pallas=use_pallas)
 
     dt = time_chained(run, ITERS)

@@ -1,7 +1,7 @@
 """Measure the bit-sliced Eq select vs the nested-where select on chip.
 
 One process (pool claim is paid once), bench.py's honest-timing scaffold.
-Covers the production NFA kernel at every maxerr plus a small tile
+Covers the packed NFA kernel (pre-sliced production) at every maxerr plus a small tile
 re-sweep at maxerr=2 in case the cheaper step shifts the optimum.
 Usage: python native/sweep_eqsel.py > /tmp/eqsel.log 2>&1
 """
