@@ -48,8 +48,10 @@ def approx_count_rank(
     window_valid = jax.lax.broadcasted_iota(jnp.int32, (W,), 0) < n_valid
 
     peq = build_peq(sel_hi, sel_lo, k)          # [cap, 4]
-    # Invalid candidate slots: zero Peq is harmless (their counts are
-    # dropped), no masking needed in the kernel.
+    # Invalid candidate slots: under the sliced kernel a zero peq row
+    # decodes as poly-A and computes a real (garbage) nonzero count.  That
+    # is safe only because rank_with_zero_counts masks counts by sel_valid
+    # before ranking -- do NOT rely on invalid slots returning zero.
     windows_t = jnp.transpose(windows, (1, 0))  # [m, W]
     counts = approx_counts(
         peq, windows_t, window_valid, k, maxerr=maxerr,

@@ -38,10 +38,13 @@ def data_mesh(devices=None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-def shard_windows(windows, window_valid, mesh: Mesh, axis: str = "data"):
-    """Place a window batch row-sharded on the mesh (rows pre-padded to a
-    multiple of the device count by the sampler's pad_to)."""
-    ws = jax.device_put(windows, NamedSharding(mesh, P(axis, None)))
+def shard_windows(windows_t, window_valid, mesh: Mesh, axis: str = "data"):
+    """Place a transposed window batch on the mesh in the layout the approx
+    path consumes: ``windows_t`` is [m, W] with the *window* axis (last)
+    sharded, ``window_valid`` is [W] sharded the same way.  Window counts
+    are pre-padded to a multiple of the device count by the sampler's
+    ``pad_to``."""
+    ws = jax.device_put(windows_t, NamedSharding(mesh, P(None, axis)))
     vs = jax.device_put(window_valid, NamedSharding(mesh, P(axis)))
     return ws, vs
 

@@ -35,11 +35,13 @@ Performance (TPU v5e, k=16, m=101/104, 512x40960 pairs): unpacked Myers
 ~27 ms/call = 0.77 Gpairs/s; SWAR packed-pair Myers ~10.4 ms = 2.0
 Gpairs/s; mask-free packed-pair level-NFA 2.4-2.8 Gpairs/s at maxerr=2;
 the **candidate-bit-sliced level-NFA** (_nfa_kernel_sliced) is the
-production kernel -- ~3.7 Gpairs/s = 0.38 Tcell/s at maxerr=2 (5.6 / 4.4
-/ 3.2 at maxerr 0 / 1 / 3) at ctw=8/wt=256, +55%/+33%/+39%/+59% over the
-packed NFA at maxerr 2/0/1/3 (interleaved best-of-2 A/B,
-native/sweep_sliced.py; absolute Gpairs/s drifts ~15% between processes,
-ratios are stable).
+production kernel.  Canonical number: **4.56 Gpairs/s** at maxerr=2,
+ctw=8/wt=256 -- the driver-captured bench.py figure (BENCH_r02.json);
+per-process measurements range 3.7-4.8 Gpairs/s (absolute throughput
+drifts ~15-25% between processes on this remote stack -- only trust
+interleaved A/B *ratios*, which are stable: +55%/+33%/+39%/+59% over the
+packed NFA at maxerr 2/0/1/3, with 5.6 / 4.4 / 3.2 Gpairs/s at maxerr
+0 / 1 / 3 in the same sweep process; native/sweep_sliced.py).
 Speed-of-light: every kernel here is VPU-bound, so per-step full-tile op
 count converts ~1:1 to throughput.  The sliced layout wins by deleting
 ops: NFA position shifts become index renames and 32 candidates share
@@ -863,9 +865,10 @@ def approx_counts(peq, windows_t, window_valid, k: int, maxerr: int = MAXERR,
 
     ``ct`` counts candidates for compatibility with the packed kernels'
     signature; the sliced kernel tiles candidate *words*, so ct maps to
-    ctw = ct // 32 (minimum 1, rounded to the Mosaic-required multiple of
-    8 outside interpret mode).  C needs no pre-padding (the sliced wrapper
-    pads internally)."""
+    ctw = ct // 32 (minimum 1; outside interpret mode Mosaic requires the
+    sublane dim to be a multiple of 8, so ctw rounds *down* to one --
+    e.g. ct=384 -> ctw=12 -> 8, ct=1024 -> 32).  C needs no pre-padding
+    (the sliced wrapper pads internally)."""
     on_tpu = (jax.default_backend() not in ("cpu",)
               if use_pallas is None else use_pallas)
     if on_tpu:
@@ -879,7 +882,7 @@ def approx_counts(peq, windows_t, window_valid, k: int, maxerr: int = MAXERR,
         else:
             ctw = max(1, ct // 32)
             if not interpret and ctw % 8:
-                ctw = 8
+                ctw = max(8, ctw - ctw % 8)
         return approx_counts_pallas_sliced(
             peq, windows_t, window_valid, k, maxerr=maxerr,
             ctw=ctw, wt=wt, interpret=interpret,

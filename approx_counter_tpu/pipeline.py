@@ -16,7 +16,6 @@ implement the *intended* skip unless ``compat_quirks`` asks for the bug.
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time
@@ -65,6 +64,7 @@ class Engine:
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+        self._fused_cache: dict[int, object] = {}
 
     def candidates_from_codes(self, codes: np.ndarray):
         """Build padded selection arrays from an explicit candidate list
@@ -147,13 +147,6 @@ class Engine:
             dev_out["sel_valid"], cap,
         )
 
-        sel_count = out["sel_count"]
-        stats = dict(
-            n_unique=int(out["n_unique"]),
-            n_keep=n_keep,
-            had_n=int(out["had_n"]),
-        )
-
         stats = dict(
             n_unique=int(out["n_unique"]),
             n_keep=n_keep,
@@ -164,11 +157,16 @@ class Engine:
         exact_counts = out["sel_count"][:n_keep].astype(np.uint64)
         return (exact_codes, exact_counts), approx, stats
 
-    @functools.lru_cache(maxsize=None)
     def _fused_fn(self, cap: int):
         """One jitted device program for a full top-N pass: exact count +
         selection + BPM scoring + CompareCount re-rank (single dispatch,
-        single fetch -- the remote-tunnel round trips dominate otherwise)."""
+        single fetch -- the remote-tunnel round trips dominate otherwise).
+
+        Cached per cap in an instance dict (a method-level lru_cache would
+        pin ``self`` forever -- a leak for library embeddings that create
+        many Engines)."""
+        if cap in self._fused_cache:
+            return self._fused_cache[cap]
         prm = self.prm
         from approx_counter_tpu.count.approx import approx_count_rank
 
@@ -188,6 +186,7 @@ class Engine:
                 approx_count=a_cnt, approx_valid=a_val,
             )
 
+        self._fused_cache[cap] = step
         return step
 
     def _fused_step(self, windows, n_valid, cap: int):

@@ -37,12 +37,11 @@ def test_approx_counts_mesh_invariant(n_dev, rng):
     want = np.asarray(approx_counts_jnp(peq, wins.T.copy(), valid, k))
 
     mesh = data_mesh(jax.devices()[:n_dev])
+    # pre-place the batch with the production sharding helper; shard_map
+    # then consumes the already-sharded arrays without a relayout
     ws, vs = shard_windows(wins.T.copy(), valid, mesh)
-    # note: shard_windows shards axis 0 = m for windows_t; respec below
     got = np.asarray(
-        approx_counts_sharded(
-            peq, wins.T.copy(), valid, k, mesh=mesh, use_pallas=False
-        )
+        approx_counts_sharded(peq, ws, vs, k, mesh=mesh, use_pallas=False)
     )
     np.testing.assert_array_equal(got, want)
 
