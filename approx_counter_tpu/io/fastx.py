@@ -103,24 +103,38 @@ def read_fastx_py(path: str) -> Reads:
             lengths.append(len(seq))
             pos = nxt if nxt != -1 else n
     else:
+        # SeqAn's readRecords accepts *wrapped* records
+        # (/root/reference/approx_counter.cpp:824-825): sequence spans lines
+        # until a '+' separator line; quality lines accumulate until their
+        # total length equals the sequence length (quality may legally
+        # start with '@' or '+', so record boundaries are length-driven).
         lines = data.split(b"\n")
         i = 0
         nl = len(lines)
         while i < nl:
-            if not lines[i]:
+            if not lines[i].rstrip(b"\r"):
                 i += 1
                 continue
             if lines[i][0] != ord("@"):
                 raise ValueError("Malformed FASTQ: expected '@' header")
-            if i + 1 >= nl:
+            i += 1
+            seq_parts: list[bytes] = []
+            while i < nl and not lines[i].startswith(b"+"):
+                seq_parts.append(lines[i].rstrip(b"\r"))
+                i += 1
+            if i >= nl:
                 raise ValueError("Malformed FASTQ: truncated record")
-            seq = lines[i + 1].rstrip(b"\r")
-            # Multi-line FASTQ is rare; support the common 4-line layout.
-            if i + 2 >= nl or not lines[i + 2].startswith(b"+"):
-                raise ValueError("Malformed FASTQ: expected '+' separator")
+            i += 1  # '+' separator (may carry a tag)
+            need = sum(len(p) for p in seq_parts)
+            got = 0
+            while i < nl and got < need:
+                got += len(lines[i].rstrip(b"\r"))
+                i += 1
+            if got != need:
+                raise ValueError("Malformed FASTQ: quality length mismatch")
+            seq = b"".join(seq_parts)
             chunks.append(seq)
             lengths.append(len(seq))
-            i += 4
     return _codes_from_chunks(chunks, lengths)
 
 

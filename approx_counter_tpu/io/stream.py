@@ -94,15 +94,23 @@ def _iter_fasta(f, chunk_size):
 
 
 def _iter_fastq(f, chunk_size):
+    """Streaming FASTQ records, incl. *wrapped* (multi-line) seq/qual:
+    sequence lines accumulate until a '+' separator; quality is consumed
+    by length (total qual length == seq length -- quality may start with
+    '@'/'+', so boundaries are length-driven like SeqAn readRecords).
+    The record is yielded at the '+' separator (a record whose quality is
+    truncated by EOF still counts, matching the native chunk parser)."""
     buf = b""
-    state = 0  # 0=@hdr 1=seq 2=+ 3=qual
+    state = 0  # 0=@hdr 1=seq-accum 2=qual
+    seq_parts: list[bytes] = []
+    need = got = 0
     while True:
         chunk = f.read(chunk_size)
         if not chunk:
             break
         buf += chunk
         lines = buf.split(b"\n")
-        buf = lines.pop()
+        buf = lines.pop()  # tail may be incomplete
         for line in lines:
             line = line.rstrip(b"\r")
             if state == 0:
@@ -110,18 +118,30 @@ def _iter_fastq(f, chunk_size):
                     continue
                 if not line.startswith(b"@"):
                     raise ValueError("Malformed FASTQ: expected '@' header")
+                seq_parts = []
                 state = 1
             elif state == 1:
-                yield line
-                state = 2
-            elif state == 2:
-                if not line.startswith(b"+"):
-                    raise ValueError("Malformed FASTQ: expected '+' separator")
-                state = 3
+                if line.startswith(b"+"):
+                    yield b"".join(seq_parts)
+                    need = sum(len(p) for p in seq_parts)
+                    got = 0
+                    state = 2 if need else 0
+                else:
+                    seq_parts.append(line)
             else:
-                state = 0
-    if state == 1 and buf:
-        yield buf.rstrip(b"\r")
+                got += len(line)
+                if got >= need:
+                    if got != need:
+                        raise ValueError(
+                            "Malformed FASTQ: quality length mismatch"
+                        )
+                    state = 0
+    if state == 1:
+        tail = buf.rstrip(b"\r")
+        if tail.startswith(b"+"):
+            yield b"".join(seq_parts)
+        elif seq_parts or tail:
+            yield b"".join(seq_parts) + tail
 
 
 def _iter_native(f, chunk_size):

@@ -88,6 +88,22 @@ bool parse_fasta(const char *data, size_t n, Handle *h, const char **err) {
     return true;
 }
 
+// Append one line's translated bases [s, le) (already \r-stripped bounds).
+static inline void append_line(const char *data, size_t s, size_t le,
+                               Handle *h) {
+    size_t old = h->buf.size();
+    h->buf.resize(old + (le - s));
+    uint8_t *dst = h->buf.data() + old;
+    const uint8_t *src = (const uint8_t *)data + s;
+    const uint8_t *tbl = kTable.t;
+    for (size_t j = 0; j < le - s; j++) dst[j] = tbl[src[j]];
+}
+
+// Multi-line (wrapped) FASTQ, like SeqAn readRecords
+// (/root/reference/approx_counter.cpp:824-825): sequence lines accumulate
+// until a '+' separator line; quality is consumed by *length* (total ==
+// sequence length -- quality may start with '@'/'+').  Mirrors the Python
+// bulk parser in io/fastx.py exactly (tests assert byte-equality).
 bool parse_fastq(const char *data, size_t n, Handle *h, const char **err) {
     size_t pos = 0;
     while (pos < n) {
@@ -100,33 +116,42 @@ bool parse_fastq(const char *data, size_t n, Handle *h, const char **err) {
         }
         const char *l1 = (const char *)memchr(data + pos, '\n', n - pos);
         if (!l1) { *err = "Malformed FASTQ: truncated record"; return false; }
-        size_t seq_start = (size_t)(l1 - data) + 1;
-        const char *l2 = (const char *)memchr(
-            data + seq_start, '\n', n - seq_start);
-        size_t seq_end = l2 ? (size_t)(l2 - data) : n;
-        size_t e = seq_end;
-        while (e > seq_start && data[e - 1] == '\r') e--;
-        size_t plus = l2 ? seq_end + 1 : n;
-        if (plus >= n || data[plus] != '+') {
-            *err = "Malformed FASTQ: expected '+' separator";
+        size_t p = (size_t)(l1 - data) + 1;
+        // --- sequence lines until a '+' separator ---
+        size_t buf_mark = h->buf.size();
+        bool plus_seen = false;
+        while (p < n) {
+            if (data[p] == '+') { plus_seen = true; break; }
+            const char *e = (const char *)memchr(data + p, '\n', n - p);
+            size_t line_end = e ? (size_t)(e - data) : n;
+            size_t le = line_end;
+            while (le > p && data[le - 1] == '\r') le--;
+            append_line(data, p, le, h);
+            p = e ? line_end + 1 : n;
+        }
+        if (!plus_seen) {
+            *err = "Malformed FASTQ: truncated record";
             return false;
         }
-        {
-            size_t old = h->buf.size();
-            h->buf.resize(old + (e - seq_start));
-            uint8_t *dst = h->buf.data() + old;
-            const uint8_t *src = (const uint8_t *)data + seq_start;
-            const uint8_t *tbl = kTable.t;
-            for (size_t j = 0; j < e - seq_start; j++) dst[j] = tbl[src[j]];
+        size_t need = h->buf.size() - buf_mark;
+        const char *sep = (const char *)memchr(data + p, '\n', n - p);
+        p = sep ? (size_t)(sep - data) + 1 : n;
+        // --- quality by length ---
+        size_t got = 0;
+        while (p < n && got < need) {
+            const char *e = (const char *)memchr(data + p, '\n', n - p);
+            size_t line_end = e ? (size_t)(e - data) : n;
+            size_t le = line_end;
+            while (le > p && data[le - 1] == '\r') le--;
+            got += le - p;
+            p = e ? line_end + 1 : n;
+        }
+        if (got != need) {
+            *err = "Malformed FASTQ: quality length mismatch";
+            return false;
         }
         h->offsets.push_back((int64_t)h->buf.size());
-        // skip '+' line and quality line
-        const char *l3 = (const char *)memchr(data + plus, '\n', n - plus);
-        if (!l3) break;
-        size_t q_start = (size_t)(l3 - data) + 1;
-        const char *l4 = (const char *)memchr(
-            data + q_start, '\n', n - q_start);
-        pos = l4 ? (size_t)(l4 - data) + 1 : n;
+        pos = p;
     }
     return true;
 }
@@ -143,16 +168,6 @@ bool parse_fastq(const char *data, size_t n, Handle *h, const char **err) {
 // ---------------------------------------------------------------------------
 
 namespace {
-
-static inline void emit_seq(const char *data, size_t s, size_t e, Handle *h) {
-    size_t old = h->buf.size();
-    h->buf.resize(old + (e - s));
-    uint8_t *dst = h->buf.data() + old;
-    const uint8_t *src = (const uint8_t *)data + s;
-    const uint8_t *tbl = kTable.t;
-    for (size_t j = 0; j < e - s; j++) dst[j] = tbl[src[j]];
-    h->offsets.push_back((int64_t)h->buf.size());
-}
 
 bool parse_fasta_inc(const char *data, size_t n, bool is_final, Handle *h,
                      size_t *consumed, const char **err) {
@@ -198,6 +213,11 @@ bool parse_fasta_inc(const char *data, size_t n, bool is_final, Handle *h,
     return true;
 }
 
+// Streaming multi-line FASTQ; mirrors io/stream.py _iter_fastq exactly:
+// sequence lines accumulate until a '+' line, quality consumed by length,
+// the record counts once the '+' separator is reached; at EOF a record
+// mid-accumulation yields its partial sequence (incl. an unterminated
+// last line), a record mid-quality yields (its sequence is complete).
 bool parse_fastq_inc(const char *data, size_t n, bool is_final, Handle *h,
                      size_t *consumed, const char **err) {
     size_t pos = 0;
@@ -212,58 +232,88 @@ bool parse_fastq_inc(const char *data, size_t n, bool is_final, Handle *h,
         }
         const char *l1 = (const char *)memchr(data + pos, '\n', n - pos);
         if (!l1) { *consumed = is_final ? n : p0; return true; }
-        size_t seq_start = (size_t)(l1 - data) + 1;
-        const char *l2 = (const char *)memchr(
-            data + seq_start, '\n', n - seq_start);
-        if (!l2) {
-            if (!is_final) { *consumed = p0; return true; }
-            // EOF mid-sequence-line: streaming iterator yields the partial
-            size_t e = n;
-            while (e > seq_start && data[e - 1] == '\r') e--;
-            if (e > seq_start) emit_seq(data, seq_start, e, h);
-            *consumed = n;
-            return true;
+        size_t p = (size_t)(l1 - data) + 1;
+        // --- sequence accumulation until a '+' line ---
+        size_t buf_mark = h->buf.size();
+        bool plus_seen = false;
+        bool any_seq_line = false;
+        while (p < n) {
+            if (data[p] == '+') { plus_seen = true; break; }
+            const char *e = (const char *)memchr(data + p, '\n', n - p);
+            if (!e) break;  // unterminated line: chunk boundary or EOF tail
+            size_t line_end = (size_t)(e - data);
+            size_t le = line_end;
+            while (le > p && data[le - 1] == '\r') le--;
+            append_line(data, p, le, h);
+            any_seq_line = true;
+            p = line_end + 1;
         }
-        size_t seq_end = (size_t)(l2 - data);
-        size_t e = seq_end;
-        while (e > seq_start && data[e - 1] == '\r') e--;
-        size_t plus = seq_end + 1;
-        if (plus >= n) {
-            if (!is_final) { *consumed = p0; return true; }
-            emit_seq(data, seq_start, e, h);  // seq line completed -> yield
-            *consumed = n;
-            return true;
-        }
-        const char *l3 = (const char *)memchr(data + plus, '\n', n - plus);
-        {
-            // '+' separator is only validated once its line is complete
-            size_t sep_end = l3 ? (size_t)(l3 - data) : n;
-            size_t se = sep_end;
-            while (se > plus && data[se - 1] == '\r') se--;
-            bool sep_complete = l3 != nullptr;
-            bool sep_ok = (se > plus) && data[plus] == '+';
-            if (sep_complete && !sep_ok) {
-                *err = "Malformed FASTQ: expected '+' separator";
-                return false;
-            }
-            if (!sep_complete) {
-                if (!is_final) { *consumed = p0; return true; }
-                emit_seq(data, seq_start, e, h);
-                *consumed = n;
+        if (!plus_seen) {
+            if (!is_final) {
+                h->buf.resize(buf_mark);
+                *consumed = p0;
                 return true;
             }
-        }
-        size_t q_start = (size_t)(l3 - data) + 1;
-        const char *l4 = (const char *)memchr(
-            data + q_start, '\n', n - q_start);
-        if (!l4) {
-            if (!is_final) { *consumed = p0; return true; }
-            emit_seq(data, seq_start, e, h);
+            // EOF semantics (== _iter_fastq): a '+'-starting tail closes
+            // the record; otherwise the partial tail joins the sequence;
+            // a bare header with nothing after it is dropped.
+            bool tail_plus = p < n && data[p] == '+';
+            size_t le = n;
+            while (le > p && data[le - 1] == '\r') le--;
+            if (!tail_plus && le > p) {
+                append_line(data, p, le, h);
+                any_seq_line = true;
+            }
+            if (tail_plus || any_seq_line) {
+                h->offsets.push_back((int64_t)h->buf.size());
+            } else {
+                h->buf.resize(buf_mark);
+            }
             *consumed = n;
             return true;
         }
-        emit_seq(data, seq_start, e, h);
-        pos = (size_t)(l4 - data) + 1;
+        size_t need = h->buf.size() - buf_mark;
+        const char *sep = (const char *)memchr(data + p, '\n', n - p);
+        if (!sep) {
+            if (!is_final) {
+                h->buf.resize(buf_mark);
+                *consumed = p0;
+                return true;
+            }
+            h->offsets.push_back((int64_t)h->buf.size());  // '+' reached
+            *consumed = n;
+            return true;
+        }
+        size_t qp = (size_t)(sep - data) + 1;
+        // --- quality by length (complete lines only) ---
+        size_t got = 0;
+        bool qual_done = got >= need;
+        while (qp < n && !qual_done) {
+            const char *e = (const char *)memchr(data + qp, '\n', n - qp);
+            if (!e) break;  // partial qual line: not counted (== Python)
+            size_t line_end = (size_t)(e - data);
+            size_t le = line_end;
+            while (le > qp && data[le - 1] == '\r') le--;
+            got += le - qp;
+            qp = line_end + 1;
+            qual_done = got >= need;
+        }
+        if (qual_done && got != need) {
+            *err = "Malformed FASTQ: quality length mismatch";
+            return false;
+        }
+        if (!qual_done) {
+            if (!is_final) {
+                h->buf.resize(buf_mark);
+                *consumed = p0;
+                return true;
+            }
+            h->offsets.push_back((int64_t)h->buf.size());  // EOF mid-qual
+            *consumed = n;
+            return true;
+        }
+        h->offsets.push_back((int64_t)h->buf.size());
+        pos = qp;
         *consumed = pos;
     }
     return true;

@@ -15,6 +15,14 @@ from approx_counter_tpu.io.kmer_list import parse_kmer_list
 
 FASTA = b">r0 desc\nACGT\nacgt\n>r1\nNNTT\n>empty\n>r3\nACGTACGTXX\n"
 FASTQ = b"@r0\nACGTN\n+\nIIIII\n@r1\nttgg\n+ junk\nIIII\n"
+# Wrapped (multi-line) records like SeqAn readRecords accepts
+# (approx_counter.cpp:824-825): seq spans lines until '+', quality consumed
+# by length and may start with '@' or '+'.
+FASTQ_ML = (
+    b"@r0\nACG\nTN\n+\n@II\n+I\n"
+    b"@r1 tag\r\ntt\r\ngg\r\n+ junk\r\nII\r\nII\r\n"
+    b"@r2\nAAAA\n+\nIIII\n"
+)
 
 
 @pytest.fixture(scope="session")
@@ -46,13 +54,37 @@ class TestFastx:
         np.testing.assert_array_equal(r.read(0), [0, 1, 2, 3, 4])
         np.testing.assert_array_equal(r.read(1), [3, 3, 2, 2])
 
+    def test_fastq_multiline_py(self, tmp_path):
+        p = tmp_path / "ml.fastq"
+        p.write_bytes(FASTQ_ML)
+        r = read_fastx_py(str(p))
+        assert len(r) == 3
+        np.testing.assert_array_equal(r.read(0), [0, 1, 2, 3, 4])
+        np.testing.assert_array_equal(r.read(1), [3, 3, 2, 2])
+        np.testing.assert_array_equal(r.read(2), [0, 0, 0, 0])
+
+    def test_fastq_qual_length_mismatch(self, tmp_path):
+        p = tmp_path / "bad.fastq"
+        p.write_bytes(b"@r0\nACGT\n+\nIIIII\n@r1\nTT\n+\nII\n")
+        with pytest.raises(ValueError, match="quality length mismatch"):
+            read_fastx_py(str(p))
+
+    def test_fastq_truncated_no_plus(self, tmp_path):
+        p = tmp_path / "tr.fastq"
+        p.write_bytes(b"@r0\nACGT\nTTTT\n")
+        with pytest.raises(ValueError, match="truncated record"):
+            read_fastx_py(str(p))
+
     def test_crlf(self, tmp_path):
         p = tmp_path / "crlf.fasta"
         p.write_bytes(b">r0\r\nACGT\r\nTT\r\n")
         r = read_fastx_py(str(p))
         np.testing.assert_array_equal(r.read(0), [0, 1, 2, 3, 3, 3])
 
-    @pytest.mark.parametrize("data,name", [(FASTA, "a.fasta"), (FASTQ, "a.fastq")])
+    @pytest.mark.parametrize(
+        "data,name",
+        [(FASTA, "a.fasta"), (FASTQ, "a.fastq"), (FASTQ_ML, "ml.fastq")],
+    )
     def test_native_matches_python(self, tmp_path, native_lib, data, name):
         p = tmp_path / name
         p.write_bytes(data)
@@ -76,6 +108,33 @@ class TestFastx:
         nat = native_lib(str(p))
         np.testing.assert_array_equal(py.buf, nat.buf)
         np.testing.assert_array_equal(py.offsets, nat.offsets)
+
+    def test_native_random_multiline_fastq(self, tmp_path, native_lib, rng):
+        """Random wrapped FASTQ (wrapped seq + qual, '@'/'+'-leading qual
+        chars): native == Python, and both equal the unwrapped parse."""
+        recs = []
+        flat = []
+        for i in range(40):
+            L = int(rng.integers(0, 200))
+            seq = "".join("ACGTN"[c] for c in rng.integers(0, 5, L))
+            qual = "".join(
+                chr(33 + int(c)) for c in rng.integers(0, 60, L)
+            )
+            w = int(rng.integers(5, 50))
+            sw = "\n".join(seq[j : j + w] for j in range(0, max(L, 1), w))
+            qw = "\n".join(qual[j : j + w] for j in range(0, max(L, 1), w))
+            recs.append(f"@read{i} x\n{sw}\n+read{i}\n{qw}\n")
+            flat.append(f"@read{i} x\n{seq}\n+\n{qual}\n")
+        p = tmp_path / "ml.fastq"
+        p.write_text("".join(recs))
+        pf = tmp_path / "flat.fastq"
+        pf.write_text("".join(flat))
+        py = read_fastx_py(str(p))
+        nat = native_lib(str(p))
+        ref = read_fastx_py(str(pf))
+        for other in (nat, ref):
+            np.testing.assert_array_equal(py.buf, other.buf)
+            np.testing.assert_array_equal(py.offsets, other.offsets)
 
     def test_native_missing_file(self, native_lib):
         with pytest.raises(FileNotFoundError):

@@ -20,14 +20,21 @@ def _write_fasta(path, seqs, wrap=0):
                 f.write(s + "\n")
 
 
-def _write_fastq(path, seqs):
+def _write_fastq(path, seqs, wrap=0):
+    def _w(s):
+        if not wrap or not s:
+            return s
+        return "\n".join(s[j : j + wrap] for j in range(0, len(s), wrap))
+
     with open(path, "w") as f:
         for i, s in enumerate(seqs):
-            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+            f.write(f"@r{i}\n{_w(s)}\n+\n{_w('I' * len(s))}\n")
 
 
 class TestStreamSampling:
-    @pytest.mark.parametrize("fmt,wrap", [("fasta", 0), ("fasta", 7), ("fastq", 0)])
+    @pytest.mark.parametrize(
+        "fmt,wrap", [("fasta", 0), ("fasta", 7), ("fastq", 0), ("fastq", 7)]
+    )
     def test_identity_sample_matches_all_reads(self, tmp_path, rng, fmt, wrap):
         sl = 10
         seqs = [
@@ -39,7 +46,7 @@ class TestStreamSampling:
         if fmt == "fasta":
             _write_fasta(str(p), seqs, wrap)
         else:
-            _write_fastq(str(p), seqs)
+            _write_fastq(str(p), seqs, wrap)
         b_start, b_end, n_reads = stream_sample_windows(
             str(p), sn=100, sl=sl, rng=np.random.default_rng(0)
         )
@@ -141,6 +148,13 @@ class TestNativeStreamScanner:
             # FASTQ: CRLF, '+' with tag, final record w/ truncated quality
             (b"@a\nACGT\n+\nIIII\n@b\r\nTTTT\r\n+x\r\nJJJJ\r\n"
              b"@c\nGGGG\n+\nII", True),
+            # multi-line FASTQ: wrapped seq + wrapped qual, qual lines
+            # starting with '@' and '+', CRLF wraps, EOF mid-accumulation
+            (b"@a\nACGT\nTTGG\nA\n+\n@IIII\n+JJ\nK\n"
+             b"@b x\r\nCC\r\nGG\r\n+x\r\nII\r\nII\r\n@c\nAC\nGT", True),
+            # wrapped qual split so a qual line exactly fills need at a
+            # chunk edge; final record closed by a bare '+' tail at EOF
+            (b"@a\nACGTT\nT\n+\nIII\nIII\n@b\nGG\nCC\n+", True),
         ]
         rng = np.random.default_rng(0)
         parts = []
