@@ -111,3 +111,56 @@ def join_code(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return (np.asarray(hi, dtype=np.uint64) << np.uint64(32)) | np.asarray(
         lo, dtype=np.uint64
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed window transfer: the sampled batch is 3-bit symbols (0..3 bases,
+# 4 N, 5 pad) shipped host->device one byte per base -- ~4 MB per default
+# pass through the (remote) device tunnel.  Packing into a 2-bit base plane
+# (4 bases/byte) + a high-bit plane (8 bases/byte) cuts the transfer to
+# 0.375 bytes/base; the device unpack is a handful of shift/ands that XLA
+# fuses, and every downstream consumer sees the same uint8 [n, m] batch.
+# sym == (sym & 3) | ((sym >> 2) << 2) restores exactly: 4 -> 0|4, 5 -> 1|4.
+# ---------------------------------------------------------------------------
+
+
+def pack_windows_host(windows: np.ndarray):
+    """uint8 [n, m] ordinal batch -> (lob [n, ceil(m/8)*2], hib
+    [n, ceil(m/8)], m) uint8 planes for the device transfer."""
+    n, m = windows.shape
+    mp = -(-m // 8) * 8
+    w = windows
+    if mp != m:
+        w = np.full((n, mp), BASE_PAD, np.uint8)
+        w[:, :m] = windows
+    b = w & np.uint8(3)
+    lob = (
+        b[:, 0::4]
+        | (b[:, 1::4] << np.uint8(2))
+        | (b[:, 2::4] << np.uint8(4))
+        | (b[:, 3::4] << np.uint8(6))
+    )
+    h = w >> np.uint8(2)
+    hib = np.zeros((n, mp // 8), np.uint8)
+    for j in range(8):
+        hib |= h[:, j::8] << np.uint8(j)
+    return np.ascontiguousarray(lob), np.ascontiguousarray(hib), m
+
+
+def unpack_windows_jnp(lob, hib, m: int):
+    """Device-side inverse of :func:`pack_windows_host` -> uint8 [n, m].
+    Plain jnp (callers jit it, alone or fused into a larger step)."""
+    import jax.numpy as jnp
+
+    n = lob.shape[0]
+    l32 = lob.astype(jnp.uint32)
+    b = jnp.stack(
+        [(l32 >> jnp.uint32(2 * j)) & jnp.uint32(3) for j in range(4)],
+        axis=2,
+    ).reshape(n, -1)
+    h32 = hib.astype(jnp.uint32)
+    hi = jnp.stack(
+        [(h32 >> jnp.uint32(j)) & jnp.uint32(1) for j in range(8)],
+        axis=2,
+    ).reshape(n, -1)
+    return (b | (hi << jnp.uint32(2))).astype(jnp.uint8)[:, :m]

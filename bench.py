@@ -129,13 +129,25 @@ def bench_tpu() -> float:
         eng = Engine(Params(input_file="bench", sn=W, sl=M - 1, k=K),
                      use_pallas=use_pallas)
         wbufs = [
-            rng.integers(0, 4, (W, M)).astype(np.uint8) for _ in range(4)
+            rng.integers(0, 4, (W, M)).astype(np.uint8) for _ in range(7)
         ]
-        jax.block_until_ready(eng._fused_step(wbufs[0], np.int32(W), 512))
+        # production path: 2-bit-packed H2D planes + on-device unpack
+        jax.block_until_ready(
+            eng._fused_step(eng.device_windows(wbufs[0]), np.int32(W), 512)
+        )
         t0 = time.perf_counter()
         for i in range(1, 4):  # distinct buffers; includes H2D + fetch
+            jax.device_get(
+                eng._fused_step(eng.device_windows(wbufs[i]), np.int32(W),
+                                512)
+            )
+        log(f"full pass (fused exact+BPM+rank, packed H2D): "
+            f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms")
+        # A/B: raw uint8 window H2D straight into the fused step
+        t0 = time.perf_counter()
+        for i in range(4, 7):
             jax.device_get(eng._fused_step(wbufs[i], np.int32(W), 512))
-        log(f"full pass (fused exact+BPM+rank, incl. transfers): "
+        log(f"full pass (raw uint8 H2D A/B): "
             f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms")
     except Exception as e:  # noqa: BLE001
         log(f"full-pass diagnostic unavailable: {e}")

@@ -48,6 +48,26 @@ class TestCodec:
         hi, lo = split_code(v)
         np.testing.assert_array_equal(join_code(hi, lo), v)
 
+    @pytest.mark.parametrize("m", [1, 7, 8, 101, 104])
+    def test_pack_windows_roundtrip(self, m, rng):
+        """2-bit-packed H2D planes: pack/unpack is the identity on all
+        symbols (bases, N, pad) at aligned and ragged widths."""
+        import jax.numpy as jnp
+
+        from approx_counter_tpu.core.codec import (
+            pack_windows_host,
+            unpack_windows_jnp,
+        )
+
+        w = rng.integers(0, 6, (5, m)).astype(np.uint8)
+        lob, hib, mm = pack_windows_host(w)
+        assert mm == m
+        assert lob.shape[1] * 4 == hib.shape[1] * 8 >= m
+        out = np.asarray(
+            unpack_windows_jnp(jnp.asarray(lob), jnp.asarray(hib), m)
+        )
+        np.testing.assert_array_equal(out, w)
+
 
 class TestIsDna:
     def test_pure_and_tainted(self):
