@@ -40,6 +40,49 @@ from approx_counter_tpu.core.complexity import dimer_sum, max_dimer_sum
 from approx_counter_tpu.core.ordering import compare_count_keys
 
 
+def _as_sortable_i32(x):
+    """Monotonic uint32 -> int32 map (order-preserving) for lax.top_k."""
+    return jax.lax.bitcast_convert_type(
+        x ^ jnp.uint32(0x80000000), jnp.int32
+    )
+
+
+def _topk_rank(key1, s_lo, cap: int, db: int, P: int):
+    """Exact CompareCount top-``cap`` selection without sorting all P
+    entries: two lax.top_k passes + a tiny exact sort.
+
+    Correctness: let kb be the cap-th smallest key1 (counted with
+    multiplicity).  Every true winner has key1 < kb, or key1 == kb and a
+    code among the class's top-(cap - n_less) by code desc.  top_k #1
+    (smallest key1) contains all entries with key1 < kb; top_k #2 (largest
+    code within the kb class) contains the class's code-desc winners --
+    with the one corner (the class's all-A code-0 member needed as a
+    winner, indistinguishable from unmasked zeros) arising only when the
+    whole class fits in top_k #1 anyway (code 0 is the class minimum, so
+    it wins only when class_size <= cap - n_less).  The union therefore
+    always covers the true top-cap; a 2*cap exact sort (with duplicate
+    indices masked to rank-last) restores full CompareCount order.
+
+    Returns (o1, o4) = (packed key1, ~code) of the top ``cap`` entries.
+    """
+    nk1 = _as_sortable_i32(~key1)
+    v1, i1 = jax.lax.top_k(nk1, cap)                 # cap smallest key1
+    kb = ~jax.lax.bitcast_convert_type(
+        v1[cap - 1], jnp.uint32
+    ) ^ jnp.uint32(0x80000000)                       # cap-th smallest key1
+    mask_b = key1 == kb
+    bvals = _as_sortable_i32(jnp.where(mask_b, s_lo, jnp.uint32(0)))
+    _, i2 = jax.lax.top_k(bvals, cap)                # class top codes
+    sidx = jnp.sort(jnp.concatenate([i1, i2]))       # [2cap]
+    dup = jnp.concatenate(
+        [jnp.zeros(1, bool), sidx[1:] == sidx[:-1]]
+    )
+    g_key1 = jnp.where(dup, jnp.uint32(0xFFFFFFFF), key1[sidx])
+    g_ncode = jnp.where(dup, jnp.uint32(0xFFFFFFFF), ~s_lo[sidx])
+    o1, o4 = jax.lax.sort([g_key1, g_ncode], num_keys=2)
+    return o1[:cap], o4[:cap]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "cap", "n_forbidden", "use_solid")
 )
@@ -191,23 +234,33 @@ def exact_count_select_rows(
     # the lead key (count = P - (key1 >> db), or ~k1 in the fallback), and
     # dropping the extra 3.5M-element operand measurably shrinks the
     # ranking sort's data movement.
-    # Rejected design: lax.top_k on key1 with a tie-slack then a small
-    # re-sort.  The boundary tie class is unbounded (count-1 k-mers sharing
-    # a dimer sum number in the millions), and top_k would pick an
-    # arbitrary subset of it, breaking the code-desc tie-break that defines
-    # output bytes.  The full sort is the only shape that preserves
-    # CompareCount exactly.
+    # NOTE on top_k: a naive lax.top_k on key1 breaks byte parity -- the
+    # boundary tie class is unbounded (count-1 k-mers sharing a dimer sum
+    # number in the millions) and top_k would keep an arbitrary subset,
+    # losing the code-desc tie-break.  _topk_rank fixes this exactly with
+    # a second top_k *by code within the boundary class* (see its
+    # docstring for the coverage argument), replacing the full-P ranking
+    # sort on the k <= 16 hot path.
     db = max_dimer_sum(k).bit_length()
     dimer = dimer_sum(s_hi, s_lo, k).astype(jnp.uint32)
     if P < (1 << (32 - db)):
         key1 = ((jnp.uint32(P) - count) << np.uint32(db)) | dimer
-        if k <= 16:  # hi is identically zero; drop its key from the sort
+        if k <= 16 and P > 2 * cap:
+            # top-k selection path: two partial reduces over P + a 2*cap
+            # exact sort instead of sorting all P positions (only the
+            # n_unique run starts are real; the full ranking sort was ~9 ms
+            # of the ~19 ms exact stage at reference defaults).
+            o1, o4 = _topk_rank(key1, s_lo, cap, db, P)
+            sel_hi = jnp.zeros(cap, jnp.uint32)
+        elif k <= 16:  # hi is identically zero; drop its key from the sort
             o1, o4 = jax.lax.sort([key1, ~s_lo], num_keys=2)
             sel_hi = jnp.zeros(cap, jnp.uint32)
         else:
             o1, o3, o4 = jax.lax.sort([key1, ~s_hi, ~s_lo], num_keys=3)
             sel_hi = (~o3).astype(jnp.uint32)[:cap]
-        o_count = jnp.uint32(P) - (o1 >> np.uint32(db))
+        raw = o1[:cap] >> np.uint32(db)
+        o_count = jnp.where(raw <= jnp.uint32(P), jnp.uint32(P) - raw,
+                            jnp.uint32(0))
     else:  # gigantic batches: unpacked 3/4-key fallback
         k1, k2, k3, k4 = compare_count_keys(s_hi, s_lo, count, k, valid=keep)
         if k <= 16:

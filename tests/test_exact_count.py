@@ -124,3 +124,43 @@ def test_limit_truncation(rng):
     )
     assert len(codes) == 7
     assert list(zip(codes.tolist(), counts.tolist())) == want
+
+
+def test_boundary_tie_class_straddles_cap(rng):
+    """The top-k ranking path's hard case: a huge count-1 tie class (same
+    count, many sharing dimer sums) straddling the cap boundary -- byte
+    parity demands exactly the code-desc winners of the class, the case a
+    naive single top_k cannot get right."""
+    k, n, m = 8, 48, 60
+    # mostly-unique random windows: thousands of count-1 k-mers
+    windows = rng.integers(0, 4, (n, m)).astype(np.uint8)
+    # a few forced repeats so some counts > 1 exist above the class
+    windows[1] = windows[0]
+    windows[2] = windows[0]
+    cap = 32
+    counter, _ = oracle_count_kmers(list(windows), k, 100.0, set())
+    want = oracle_get_most_frequent(counter, cap, k)
+    codes, counts, out = _run(
+        windows, n, k, 100.0, np.empty(0, np.uint64), cap, 0, cap=cap
+    )
+    # P = 48*53 = 2544 > 2*cap -> the _topk_rank path is active
+    assert list(zip(codes.tolist(), counts.tolist())) == want
+
+
+def test_topk_rank_all_a_boundary(rng):
+    """Code 0 (all-A) inside the boundary class: the documented corner
+    where the class's minimum code is a winner only when the whole class
+    fits -- must still match the oracle byte-for-byte."""
+    k = 4
+    # build windows from a small alphabet region so the distinct k-mer set
+    # is tiny and includes AAAA; every k-mer lands at count >= 1
+    n, m = 20, 40
+    windows = rng.integers(0, 2, (n, m)).astype(np.uint8)  # A/C only
+    windows[0, :10] = 0  # a run of As
+    for cap in (8, 16):
+        counter, _ = oracle_count_kmers(list(windows), k, 1000.0, set())
+        want = oracle_get_most_frequent(counter, cap, k)
+        codes, counts, _ = _run(
+            windows, n, k, 1000.0, np.empty(0, np.uint64), cap, 0, cap=cap
+        )
+        assert list(zip(codes.tolist(), counts.tolist())) == want
