@@ -1,7 +1,7 @@
 CXX ?= g++
 CXXFLAGS ?= -O3 -march=native -std=c++14 -Wall
 
-.PHONY: all native test bench clean
+.PHONY: all native test bench tpu-check clean
 
 all: native
 
@@ -18,6 +18,11 @@ test:
 
 bench:
 	python bench.py
+
+# Real-chip differential gate: all Pallas kernel families vs the jnp scan,
+# one chip claim, log recorded in native/tpu_check_last.txt.
+tpu-check:
+	python native/tpu_check.py
 
 clean:
 	rm -f native/libfastx.so native/cpu_baseline

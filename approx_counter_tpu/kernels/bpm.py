@@ -696,7 +696,7 @@ def build_sliced_planes(peq, k: int):
 
 
 def _nfa_kernel_sliced(p0_ref, p1_ref, win_ref, wvalid_ref, out_ref, *,
-                       k: int, m: int, maxerr: int):
+                       k: int, m: int, maxerr: int, unroll: int = 8):
     wi = pl.program_id(1)
 
     Ctw = p0_ref.shape[0]
@@ -714,7 +714,10 @@ def _nfa_kernel_sliced(p0_ref, p1_ref, win_ref, wvalid_ref, out_ref, *,
     R = tuple(tuple(zeros for _ in range(d, k)) for d in range(n_levels))
     h = tuple(zeros for _ in range(n_levels))  # sticky bit k-1 per level
 
-    assert m % 8 == 0, m  # caller pads; see _bpm_kernel group-loading note
+    # caller pads m to the unroll size; larger unrolls amortize the carry
+    # pytree's VMEM spill/reload across fori_loop iterations (the ~45 live
+    # state tiles exceed the vreg file) at the price of pad steps.
+    assert m % unroll == 0 and unroll % 8 == 0, (m, unroll)
 
     def step(crow, carry):
         R, h = carry
@@ -740,13 +743,16 @@ def _nfa_kernel_sliced(p0_ref, p1_ref, win_ref, wvalid_ref, out_ref, *,
         return tuple(newR), newh
 
     def group(g, carry):
-        base = pl.multiple_of(g * 8, 8)
-        rows = win_ref[pl.ds(base, 8), :].astype(jnp.int32)  # (8, Wt)
-        for cr in _group_rows(rows, "slice"):
-            carry = step(cr, carry)
+        base = pl.multiple_of(g * unroll, unroll)
+        rows = win_ref[pl.ds(base, unroll), :].astype(jnp.int32)
+        X0, X1, VM = _slice_rows(rows)  # (unroll, Wt) x3
+        for i in range(unroll):
+            carry = step(
+                (X0[i][None, :], X1[i][None, :], VM[i][None, :]), carry
+            )
         return carry
 
-    R, h = jax.lax.fori_loop(0, m // 8, group, (R, h))
+    R, h = jax.lax.fori_loop(0, m // unroll, group, (R, h))
     wv = wvalid_ref[:].astype(jnp.int32)  # (1, Wt)
     cols = []
     for c in range(32):
@@ -770,12 +776,13 @@ def _nfa_kernel_sliced(p0_ref, p1_ref, win_ref, wvalid_ref, out_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ctw", "wt", "interpret", "maxerr")
+    jax.jit,
+    static_argnames=("k", "ctw", "wt", "interpret", "maxerr", "unroll"),
 )
 def approx_counts_pallas_sliced(
     peq, windows_t, window_valid, k: int,
     ctw: int = 8, wt: int = 256, interpret: bool = False,
-    maxerr: int = MAXERR,
+    maxerr: int = MAXERR, unroll: int = 8,
 ):
     """Candidate-bit-sliced NFA; same contract as approx_counts_pallas.
 
@@ -796,9 +803,11 @@ def approx_counts_pallas_sliced(
         peq = jnp.pad(peq, ((0, Cpad - C), (0, 0)))
     P0, P1 = build_sliced_planes(peq, k)  # [Cw, k]
     Cw = Cpad // 32
-    if m % 8:  # pad text to the kernel's 8-row group size (symbol 5)
-        windows_t = jnp.pad(windows_t, ((0, 8 - m % 8), (0, 0)),
-                            constant_values=np.uint8(5))
+    if m % unroll:  # pad text to the kernel's group size (symbol 5)
+        windows_t = jnp.pad(
+            windows_t, ((0, unroll - m % unroll), (0, 0)),
+            constant_values=np.uint8(5),
+        )
         m = windows_t.shape[0]
     grid = (Cw // ctw, W // wt)
     wvalid = window_valid.astype(jnp.int32).reshape(1, W)
@@ -807,7 +816,8 @@ def approx_counts_pallas_sliced(
     ops = (4 * k + (k - 1)
            + sum(4 * (k - d) for d in range(1, n_levels)) + n_levels)
     out = pl.pallas_call(
-        functools.partial(_nfa_kernel_sliced, k=k, m=m, maxerr=maxerr),
+        functools.partial(_nfa_kernel_sliced, k=k, m=m, maxerr=maxerr,
+                          unroll=unroll),
         out_shape=jax.ShapeDtypeStruct((Cw, 32), jnp.int32),
         grid=grid,
         in_specs=[

@@ -1,0 +1,101 @@
+"""Real-chip differential gate: every Pallas kernel family vs the jnp
+Myers scan (independent algorithm) on the same device.
+
+Interpret-mode tests cannot catch Mosaic lowering regressions, and bench
+noise can hide them; this is the repeatable hardware check (``make
+tpu-check``).  One process = one chip claim; all configs batched.  Exit
+status is nonzero on any mismatch; the log is also written to
+``native/tpu_check_last.txt`` so a green run is recorded in the repo.
+
+Families x envelope:
+  * production dispatch (candidate-bit-sliced level-NFA), all k, unroll 8/16
+  * unpacked Myers pallas
+  * SWAR packed Myers (pack 2 for k<=16, 4 for k<=8)
+  * packed level-NFA (same packs)
+over k in {2, 8, 16, 31, 32} x maxerr in {0, 1, 2, 3}, windows with N +
+pad symbols and masked rows.
+
+Usage: python native/tpu_check.py
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import log, setup_cache  # noqa: E402
+
+import jax  # noqa: E402
+
+setup_cache()
+
+from approx_counter_tpu.kernels.bpm import (  # noqa: E402
+    approx_counts,
+    approx_counts_jnp,
+    approx_counts_pallas,
+    approx_counts_pallas_packed,
+    approx_counts_pallas_sliced,
+    build_peq,
+)
+
+assert jax.default_backend() not in ("cpu",), "needs the TPU"
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "tpu_check_last.txt")
+lines = []
+
+
+def record(msg):
+    log(msg)
+    lines.append(msg)
+
+
+rng = np.random.default_rng(99)
+C, W, m = 64, 512, 40
+fails = 0
+for k in (2, 8, 16, 31, 32):
+    for maxerr in (0, 1, 2, 3):
+        codes = rng.integers(0, 1 << min(2 * k, 63), C, dtype=np.uint64)
+        hi = (codes >> np.uint64(32)).astype(np.uint32)
+        lo = (codes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        peq = build_peq(hi, lo, k)
+        wins = rng.integers(0, 6, (m, W)).astype(np.uint8)  # incl. N + pad
+        valid = np.ones(W, bool)
+        valid[-17:] = False
+        want = np.asarray(
+            approx_counts_jnp(peq, wins, valid, k, maxerr=maxerr)
+        )
+
+        runs = [
+            ("dispatch", lambda: approx_counts(
+                peq, wins, valid, k, maxerr=maxerr, use_pallas=True)),
+            ("sliced-u16", lambda: approx_counts_pallas_sliced(
+                peq, wins, valid, k, ctw=8, wt=W, maxerr=maxerr,
+                unroll=16)),
+            ("myers", lambda: approx_counts_pallas(
+                peq, wins, valid, k, ct=32, wt=W, maxerr=maxerr)),
+        ]
+        for pack in (2, 4):
+            if k <= 32 // pack:
+                runs.append((f"myers-p{pack}", lambda pack=pack:
+                             approx_counts_pallas_packed(
+                                 peq, wins, valid, k, ct=32, wt=W,
+                                 maxerr=maxerr, pack=pack, algo="myers")))
+                runs.append((f"nfa-p{pack}", lambda pack=pack:
+                             approx_counts_pallas_packed(
+                                 peq, wins, valid, k, ct=32, wt=W,
+                                 maxerr=maxerr, pack=pack, algo="nfa")))
+        for name, fn in runs:
+            got = np.asarray(fn())
+            ok = (want == got).all()
+            fails += 0 if ok else 1
+            record(f"k={k:2d} maxerr={maxerr} {name:10s}: "
+                   + ("OK" if ok else f"FAIL {want[:5]} vs {got[:5]}"))
+
+verdict = "PASS" if fails == 0 else f"FAIL ({fails})"
+record(f"TPU-CHECK {verdict}")
+with open(OUT, "w") as f:
+    f.write("\n".join(lines) + "\n")
+print("TPU-CHECK " + verdict)
+sys.exit(1 if fails else 0)
