@@ -115,7 +115,6 @@ class Engine:
         data-dependent and may force a re-trace at a larger cap.
         """
         prm = self.prm
-        windows = self.device_windows(windows)
         cap = max(512, _round_up(min(prm.limit, 1 << 20), CT))
         if prm.solid_km <= 0:
             while True:
@@ -143,6 +142,7 @@ class Engine:
             exact_counts = ex["sel_count"][:n_keep].astype(np.uint64)
             return (exact_codes, exact_counts), approx, stats
 
+        windows = self.device_windows(windows)
         while True:
             dev_out = exact_count_select(
                 windows,
@@ -179,21 +179,24 @@ class Engine:
         exact_counts = out["sel_count"][:n_keep].astype(np.uint64)
         return (exact_codes, exact_counts), approx, stats
 
-    def _fused_fn(self, cap: int):
-        """One jitted device program for a full top-N pass: exact count +
-        selection + BPM scoring + CompareCount re-rank (single dispatch,
-        single fetch -- the remote-tunnel round trips dominate otherwise).
+    def _fused_fn(self, cap: int, m: int):
+        """One jitted device program for a full top-N pass: 2-bit-plane
+        unpack + exact count + selection + BPM scoring + CompareCount
+        re-rank (single dispatch, single fetch, packed H2D -- the
+        remote-tunnel round trips and the 4 MB raw window transfer
+        dominate otherwise).
 
-        Cached per cap in an instance dict (a method-level lru_cache would
-        pin ``self`` forever -- a leak for library embeddings that create
-        many Engines)."""
-        if cap in self._fused_cache:
-            return self._fused_cache[cap]
+        Cached per (cap, m) in an instance dict (a method-level lru_cache
+        would pin ``self`` forever -- a leak for library embeddings that
+        create many Engines)."""
+        if (cap, m) in self._fused_cache:
+            return self._fused_cache[(cap, m)]
         prm = self.prm
         from approx_counter_tpu.count.approx import approx_count_rank
 
         @jax.jit
-        def step(windows, n_valid, lc_thr, fhi, flo, limit, solid_km):
+        def step(lob, hib, n_valid, lc_thr, fhi, flo, limit, solid_km):
+            windows = unpack_windows_jnp(lob, hib, m)
             ex = exact_count_select(
                 windows, n_valid, prm.k, lc_thr, fhi, flo, limit, solid_km,
                 cap=cap, n_forbidden=len(self.forbidden), use_solid=False,
@@ -208,13 +211,16 @@ class Engine:
                 approx_count=a_cnt, approx_valid=a_val,
             )
 
-        self._fused_cache[cap] = step
+        self._fused_cache[(cap, m)] = step
         return step
 
     def _fused_step(self, windows, n_valid, cap: int):
+        """windows: host uint8 [n, m] batch -- packed on the host, shipped
+        as 2-bit planes, one fused device dispatch for the whole pass."""
         prm = self.prm
-        return self._fused_fn(cap)(
-            windows, n_valid, self.lc_sum_thr, self.fhi, self.flo,
+        lob, hib, m = pack_windows_host(np.asarray(windows))
+        return self._fused_fn(cap, m)(
+            lob, hib, n_valid, self.lc_sum_thr, self.fhi, self.flo,
             np.int32(min(prm.limit, np.iinfo(np.int32).max)),
             np.int32(prm.solid_km),
         )

@@ -131,23 +131,33 @@ def bench_tpu() -> float:
         wbufs = [
             rng.integers(0, 4, (W, M)).astype(np.uint8) for _ in range(7)
         ]
-        # production path: 2-bit-packed H2D planes + on-device unpack
-        jax.block_until_ready(
-            eng._fused_step(eng.device_windows(wbufs[0]), np.int32(W), 512)
-        )
+        # production path: host 2-bit pack -> packed H2D -> ONE fused
+        # dispatch (unpack + exact + BPM + rank) -> fetch
+        jax.block_until_ready(eng._fused_step(wbufs[0], np.int32(W), 512))
         t0 = time.perf_counter()
         for i in range(1, 4):  # distinct buffers; includes H2D + fetch
-            jax.device_get(
-                eng._fused_step(eng.device_windows(wbufs[i]), np.int32(W),
-                                512)
-            )
+            jax.device_get(eng._fused_step(wbufs[i], np.int32(W), 512))
         log(f"full pass (fused exact+BPM+rank, packed H2D): "
             f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms")
-        # A/B: raw uint8 window H2D straight into the fused step
+        # A/B the window transfer itself: raw uint8 vs packed planes
+        from approx_counter_tpu.core.codec import pack_windows_host
+
         t0 = time.perf_counter()
         for i in range(4, 7):
-            jax.device_get(eng._fused_step(wbufs[i], np.int32(W), 512))
-        log(f"full pass (raw uint8 H2D A/B): "
+            jax.block_until_ready(jax.device_put(wbufs[i]))
+        log(f"window H2D raw uint8 ({wbufs[0].nbytes / 1e6:.1f} MB): "
+            f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms")
+        packed = [pack_windows_host(wbufs[i]) for i in range(4, 7)]
+        t0 = time.perf_counter()
+        for lob, hib, _ in packed:
+            jax.block_until_ready((jax.device_put(lob), jax.device_put(hib)))
+        log(f"window H2D packed planes "
+            f"({(packed[0][0].nbytes + packed[0][1].nbytes) / 1e6:.1f} MB): "
+            f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms")
+        t0 = time.perf_counter()
+        for i in range(4, 7):
+            pack_windows_host(wbufs[i])
+        log(f"host-side pack cost: "
             f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms")
     except Exception as e:  # noqa: BLE001
         log(f"full-pass diagnostic unavailable: {e}")
