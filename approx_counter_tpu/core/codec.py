@@ -125,34 +125,45 @@ def join_code(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
 
 
 def pack_windows_host(windows: np.ndarray):
-    """uint8 [n, m] ordinal batch -> (lob [n, ceil(m/8)*2], hib
-    [n, ceil(m/8)], m) uint8 planes for the device transfer."""
+    """uint8 [n, m] ordinal batch -> (planes [n, ceil(m/8)*3], m): one
+    contiguous uint8 buffer holding the 2-bit plane (first 2*mp/8 columns,
+    base j of each 4-group at bit 2*(j%4)) then the high-bit plane (byte
+    j%8 at bit j) -- a single array so the transfer is one H2D op.
+
+    All pack arithmetic runs on contiguous uint32 views with SWAR
+    bit-gather multiplies (a strided-slice formulation measured ~24 ms on
+    this throttle-prone host; this runs in a few ms)."""
     n, m = windows.shape
     mp = -(-m // 8) * 8
     w = windows
-    if mp != m:
+    if mp != m or not w.flags.c_contiguous:
         w = np.full((n, mp), BASE_PAD, np.uint8)
         w[:, :m] = windows
-    b = w & np.uint8(3)
-    lob = (
-        b[:, 0::4]
-        | (b[:, 1::4] << np.uint8(2))
-        | (b[:, 2::4] << np.uint8(4))
-        | (b[:, 3::4] << np.uint8(6))
-    )
-    h = w >> np.uint8(2)
-    hib = np.zeros((n, mp // 8), np.uint8)
-    for j in range(8):
-        hib |= h[:, j::8] << np.uint8(j)
-    return np.ascontiguousarray(lob), np.ascontiguousarray(hib), m
+    x = w.reshape(-1).view(np.uint32)  # 4 bases/word, little-endian
+    # 2-bit plane: gather the four 2-bit fields of each word into a byte
+    t = x & np.uint32(0x03030303)
+    t = t | (t >> np.uint32(6))
+    t = (t | (t >> np.uint32(12))) & np.uint32(0xFF)
+    # high-bit plane: nibble per word via bit-gather multiply
+    u = (x >> np.uint32(2)) & np.uint32(0x01010101)
+    nib = ((u * np.uint32(0x01020408)) >> np.uint32(24)) & np.uint32(0xF)
+    planes = np.empty((n, (mp // 8) * 3), np.uint8)
+    planes[:, : mp // 4] = t.astype(np.uint8).reshape(n, mp // 4)
+    nib = nib.reshape(n, mp // 4)
+    planes[:, mp // 4 :] = (nib[:, 0::2] | (nib[:, 1::2] << np.uint32(4))
+                            ).astype(np.uint8)
+    return planes, m
 
 
-def unpack_windows_jnp(lob, hib, m: int):
+def unpack_windows_jnp(planes, m: int):
     """Device-side inverse of :func:`pack_windows_host` -> uint8 [n, m].
     Plain jnp (callers jit it, alone or fused into a larger step)."""
     import jax.numpy as jnp
 
-    n = lob.shape[0]
+    n = planes.shape[0]
+    mp8 = planes.shape[1] // 3
+    lob = planes[:, : 2 * mp8]
+    hib = planes[:, 2 * mp8 :]
     l32 = lob.astype(jnp.uint32)
     b = jnp.stack(
         [(l32 >> jnp.uint32(2 * j)) & jnp.uint32(3) for j in range(4)],

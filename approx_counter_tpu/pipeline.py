@@ -52,8 +52,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
-def _unpack_windows(lob, hib, m: int):
-    return unpack_windows_jnp(lob, hib, m)
+def _unpack_windows(planes, m: int):
+    return unpack_windows_jnp(planes, m)
 
 
 def _fmt_num(x: float) -> str:
@@ -98,8 +98,8 @@ class Engine:
         unpack on device.  Device arrays pass through untouched."""
         if not isinstance(windows, np.ndarray):
             return windows
-        lob, hib, m = pack_windows_host(windows)
-        return _unpack_windows(lob, hib, m=m)
+        planes, m = pack_windows_host(windows)
+        return _unpack_windows(planes, m=m)
 
     def count_one_end(self, windows, n_valid: int):
         """Full device pipeline for one sampled batch.
@@ -195,8 +195,8 @@ class Engine:
         from approx_counter_tpu.count.approx import approx_count_rank
 
         @jax.jit
-        def step(lob, hib, n_valid, lc_thr, fhi, flo, limit, solid_km):
-            windows = unpack_windows_jnp(lob, hib, m)
+        def step(planes, n_valid, lc_thr, fhi, flo, limit, solid_km):
+            windows = unpack_windows_jnp(planes, m)
             ex = exact_count_select(
                 windows, n_valid, prm.k, lc_thr, fhi, flo, limit, solid_km,
                 cap=cap, n_forbidden=len(self.forbidden), use_solid=False,
@@ -218,9 +218,9 @@ class Engine:
         """windows: host uint8 [n, m] batch -- packed on the host, shipped
         as 2-bit planes, one fused device dispatch for the whole pass."""
         prm = self.prm
-        lob, hib, m = pack_windows_host(np.asarray(windows))
+        planes, m = pack_windows_host(np.asarray(windows))
         return self._fused_fn(cap, m)(
-            lob, hib, n_valid, self.lc_sum_thr, self.fhi, self.flo,
+            planes, n_valid, self.lc_sum_thr, self.fhi, self.flo,
             np.int32(min(prm.limit, np.iinfo(np.int32).max)),
             np.int32(prm.solid_km),
         )

@@ -149,10 +149,10 @@ def bench_tpu() -> float:
             f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms")
         packed = [pack_windows_host(wbufs[i]) for i in range(4, 7)]
         t0 = time.perf_counter()
-        for lob, hib, _ in packed:
-            jax.block_until_ready((jax.device_put(lob), jax.device_put(hib)))
+        for planes, _ in packed:
+            jax.block_until_ready(jax.device_put(planes))
         log(f"window H2D packed planes "
-            f"({(packed[0][0].nbytes + packed[0][1].nbytes) / 1e6:.1f} MB): "
+            f"({packed[0][0].nbytes / 1e6:.1f} MB, one buffer): "
             f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms")
         t0 = time.perf_counter()
         for i in range(4, 7):

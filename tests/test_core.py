@@ -60,13 +60,18 @@ class TestCodec:
         )
 
         w = rng.integers(0, 6, (5, m)).astype(np.uint8)
-        lob, hib, mm = pack_windows_host(w)
+        planes, mm = pack_windows_host(w)
         assert mm == m
-        assert lob.shape[1] * 4 == hib.shape[1] * 8 >= m
-        out = np.asarray(
-            unpack_windows_jnp(jnp.asarray(lob), jnp.asarray(hib), m)
-        )
+        assert planes.shape[1] * 8 == 3 * (-(-m // 8) * 8)
+        out = np.asarray(unpack_windows_jnp(jnp.asarray(planes), m))
         np.testing.assert_array_equal(out, w)
+        # non-contiguous input (sliced batch) must pack identically
+        wx = np.ascontiguousarray(
+            rng.integers(0, 6, (5, m + 3)).astype(np.uint8)
+        )[:, 1 : m + 1]
+        planes2, _ = pack_windows_host(wx)
+        out2 = np.asarray(unpack_windows_jnp(jnp.asarray(planes2), m))
+        np.testing.assert_array_equal(out2, wx)
 
 
 class TestIsDna:
