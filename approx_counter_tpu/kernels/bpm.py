@@ -42,6 +42,16 @@ drifts ~15-25% between processes on this remote stack -- only trust
 interleaved A/B *ratios*, which are stable: +55%/+33%/+39%/+59% over the
 packed NFA at maxerr 2/0/1/3, with 5.6 / 4.4 / 3.2 Gpairs/s at maxerr
 0 / 1 / 3 in the same sweep process; native/sweep_sliced.py).
+The ~20% gap to the sliced kernel's op-count floor (~6.0 Gpairs/s) was
+attributed to fori_loop carry streaming (~45 live state tiles); measured
+r3 (native/sweep_carry.py, interleaved best-of-2): unroll in {8,16,24} x
+ctw in {8,16} x wt in {128,256} all land within +-2% of the production
+(8, 8, 256) config (best: unroll=16/ctw=8/wt=128 at +1.6%, inside A/B
+noise; unroll>=16 with wt=256 is 8-10% WORSE).  The state traffic is
+insensitive to these knobs -- the residual gap is irreducible without an
+op-count reduction, which the canonical recurrence does not offer (Eq
+needs 4 ops/position with the validity mask; level updates are the
+canonical 4 terms).
 Speed-of-light: every kernel here is VPU-bound, so per-step full-tile op
 count converts ~1:1 to throughput.  The sliced layout wins by deleting
 ops: NFA position shifts become index renames and 32 candidates share
