@@ -61,6 +61,54 @@ def _fmt_num(x: float) -> str:
     return f"{x:.6g}"
 
 
+class _PendingPass:
+    """An in-flight fused top-N pass: dispatched, not yet fetched.
+
+    Splitting dispatch from fetch lets the driver overlap the *next*
+    pass's host work (sampling, 2-bit packing, H2D through the remote
+    tunnel) with this pass's device compute -- on this stack the
+    transfer+dispatch round trips dominate the ~95 ms full-pass latency,
+    so pipelining the two end passes hides most of the second one.
+    """
+
+    def __init__(self, engine: "Engine", planes, m: int, n_valid, cap: int):
+        self.engine = engine
+        self.planes = planes  # kept for the (rare) larger-cap re-trace
+        self.m = m
+        self.n_valid = np.int32(n_valid)
+        self.cap = cap
+        self.dev = engine._dispatch_fused(planes, m, self.n_valid, cap)
+
+    def finish(self):
+        """Block, fetch, and post-process; same contract as
+        ``Engine.count_one_end``."""
+        engine = self.engine
+        cap, dev = self.cap, self.dev
+        while True:
+            out = jax.device_get(dev)
+            n_keep = int(out["exact"]["n_keep"])
+            if n_keep <= cap:
+                break
+            # only reachable when limit > 2^20 unique passing k-mers:
+            # the cap clamp truncated; re-trace at the true size
+            cap = _round_up(n_keep, CT)
+            dev = engine._dispatch_fused(self.planes, self.m, self.n_valid,
+                                         cap)
+        approx = engine._truncate_approx(
+            out["approx_hi"], out["approx_lo"], out["approx_count"],
+            out["approx_valid"],
+        )
+        ex = out["exact"]
+        stats = dict(
+            n_unique=int(ex["n_unique"]),
+            n_keep=n_keep,
+            had_n=int(ex["had_n"]),
+        )
+        exact_codes = join_code(ex["sel_hi"][:n_keep], ex["sel_lo"][:n_keep])
+        exact_counts = ex["sel_count"][:n_keep].astype(np.uint64)
+        return (exact_codes, exact_counts), approx, stats
+
+
 class Engine:
     """Reusable device-side engine for one parameter set."""
 
@@ -115,33 +163,10 @@ class Engine:
         data-dependent and may force a re-trace at a larger cap.
         """
         prm = self.prm
-        cap = max(512, _round_up(min(prm.limit, 1 << 20), CT))
         if prm.solid_km <= 0:
-            while True:
-                dev = self._fused_step(windows, np.int32(n_valid), cap)
-                out = jax.device_get(dev)
-                n_keep = int(out["exact"]["n_keep"])
-                if n_keep <= cap:
-                    break
-                # only reachable when limit > 2^20 unique passing k-mers:
-                # the cap clamp truncated; re-trace at the true size
-                cap = _round_up(n_keep, CT)
-            approx = self._truncate_approx(
-                out["approx_hi"], out["approx_lo"], out["approx_count"],
-                out["approx_valid"],
-            )
-            ex = out["exact"]
-            stats = dict(
-                n_unique=int(ex["n_unique"]),
-                n_keep=n_keep,
-                had_n=int(ex["had_n"]),
-            )
-            exact_codes = join_code(
-                ex["sel_hi"][:n_keep], ex["sel_lo"][:n_keep]
-            )
-            exact_counts = ex["sel_count"][:n_keep].astype(np.uint64)
-            return (exact_codes, exact_counts), approx, stats
+            return self.start_pass(windows, n_valid).finish()
 
+        cap = max(512, _round_up(min(prm.limit, 1 << 20), CT))
         windows = self.device_windows(windows)
         while True:
             dev_out = exact_count_select(
@@ -214,16 +239,34 @@ class Engine:
         self._fused_cache[(cap, m)] = step
         return step
 
-    def _fused_step(self, windows, n_valid, cap: int):
-        """windows: host uint8 [n, m] batch -- packed on the host, shipped
-        as 2-bit planes, one fused device dispatch for the whole pass."""
+    def _dispatch_fused(self, planes, m: int, n_valid, cap: int):
+        """Async-dispatch one fused top-N pass on pre-packed planes."""
         prm = self.prm
-        planes, m = pack_windows_host(np.asarray(windows))
         return self._fused_fn(cap, m)(
             planes, n_valid, self.lc_sum_thr, self.fhi, self.flo,
             np.int32(min(prm.limit, np.iinfo(np.int32).max)),
             np.int32(prm.solid_km),
         )
+
+    def _fused_step(self, windows, n_valid, cap: int):
+        """windows: host uint8 [n, m] batch -- packed on the host, shipped
+        as 2-bit planes, one fused device dispatch for the whole pass."""
+        planes, m = pack_windows_host(np.asarray(windows))
+        return self._dispatch_fused(planes, m, n_valid, cap)
+
+    def start_pass(self, windows, n_valid: int, prefetch: bool = False):
+        """Pack + dispatch one fused top-N pass; returns a ``_PendingPass``
+        (call ``.finish()`` for the results).
+
+        ``prefetch=True`` additionally ships the packed planes with an
+        explicit async ``device_put`` *before* dispatch, so a pass queued
+        behind an in-flight one starts its H2D immediately instead of at
+        execution time."""
+        cap = max(512, _round_up(min(self.prm.limit, 1 << 20), CT))
+        planes, m = pack_windows_host(np.asarray(windows))
+        if prefetch:
+            planes = jax.device_put(planes)
+        return _PendingPass(self, planes, m, n_valid, cap)
 
     def _truncate_approx(self, a_hi, a_lo, a_cnt, a_val):
         """Truncate fetched approx arrays to limit (the final resize, :923)."""
@@ -350,6 +393,19 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
             warn("The whole set will be used.")
             sn = n_reads
 
+        # Two-pass pipelining: while the start pass computes on device, the
+        # end pass's host work (sampling, 2-bit packing, async H2D) runs on
+        # the host and its dispatch queues behind the start pass -- on this
+        # remote-tunnel stack transfers dominate full-pass latency, so the
+        # second pass's transfer cost is almost entirely hidden.  Sampling
+        # order (start rng draw, then end) is unchanged, so seeded outputs
+        # are byte-identical to the sequential path.
+        can_pipeline = resume_codes is None and prm.solid_km <= 0
+        runs_end_pass = (not prm.skip_end) or (
+            prm.compat_quirks and mr_v == 0  # reference skip_end bug
+        )
+        prefetched = None  # (batch, t_sample, pending _PendingPass) for end
+
         tab_level += 1
         for which_end in ("start", "end"):
             bottom = which_end == "end"
@@ -364,14 +420,19 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
                     else "Sampling the start of reads",
                     tab_level,
                 )
-            t_sample = time.perf_counter()
-            if stream_batches is not None:
-                batch = stream_batches[which_end]
+            pending = None
+            if bottom and prefetched is not None:
+                batch, t_sample, pending = prefetched
+                prefetched = None
             else:
-                batch = sample_windows(
-                    reads, sn, prm.sl, end=bottom, rng=rng, pad_to=WT
-                )
-            t_sample = time.perf_counter() - t_sample
+                t_sample = time.perf_counter()
+                if stream_batches is not None:
+                    batch = stream_batches[which_end]
+                else:
+                    batch = sample_windows(
+                        reads, sn, prm.sl, end=bottom, rng=rng, pad_to=WT
+                    )
+                t_sample = time.perf_counter() - t_sample
             if mr_v > 0:
                 log(f"Sampled {batch.n_valid} sequences", tab_level)
 
@@ -392,18 +453,46 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
                 stats = dict(n_unique=len(resume_codes),
                              n_keep=len(resume_codes), had_n=0)
             else:
-                (
-                    (exact_codes, exact_counts),
-                    (approx_codes, approx_counts),
-                    stats,
-                ) = engine.count_one_end(batch.windows, batch.n_valid)
+                if pending is None and can_pipeline:
+                    pending = engine.start_pass(batch.windows, batch.n_valid)
+                if pending is not None and not bottom and runs_end_pass:
+                    # start pass is in flight: overlap the end pass's
+                    # sample + pack + H2D + dispatch with it
+                    t_s2 = time.perf_counter()
+                    if stream_batches is not None:
+                        batch2 = stream_batches["end"]
+                    else:
+                        batch2 = sample_windows(
+                            reads, sn, prm.sl, end=True, rng=rng, pad_to=WT
+                        )
+                    t_s2 = time.perf_counter() - t_s2
+                    prefetched = (
+                        batch2,
+                        t_s2,
+                        engine.start_pass(
+                            batch2.windows, batch2.n_valid, prefetch=True
+                        ),
+                    )
+                if pending is not None:
+                    (
+                        (exact_codes, exact_counts),
+                        (approx_codes, approx_counts),
+                        stats,
+                    ) = pending.finish()
+                else:
+                    (
+                        (exact_codes, exact_counts),
+                        (approx_codes, approx_counts),
+                        stats,
+                    ) = engine.count_one_end(batch.windows, batch.n_valid)
             t_count = time.perf_counter() - t_count
             if mr_v >= 2:
                 n_cand = stats["n_keep"]
                 pairs = n_cand * batch.n_valid
+                pipelined = " (pipelined)" if bottom and can_pipeline else ""
                 log(
                     f"[stats] sample {t_sample * 1e3:.1f} ms | "
-                    f"count+score {t_count * 1e3:.1f} ms | "
+                    f"count+score {t_count * 1e3:.1f} ms{pipelined} | "
                     f"{batch.n_valid / max(t_count, 1e-9):.0f} windows/s | "
                     f"{pairs / max(t_count, 1e-9):.3g} pairs/s",
                     tab_level,

@@ -129,7 +129,7 @@ def bench_tpu() -> float:
         eng = Engine(Params(input_file="bench", sn=W, sl=M - 1, k=K),
                      use_pallas=use_pallas)
         wbufs = [
-            rng.integers(0, 4, (W, M)).astype(np.uint8) for _ in range(7)
+            rng.integers(0, 4, (W, M)).astype(np.uint8) for _ in range(13)
         ]
         # production path: host 2-bit pack -> packed H2D -> ONE fused
         # dispatch (unpack + exact + BPM + rank) -> fetch
@@ -159,6 +159,16 @@ def bench_tpu() -> float:
             pack_windows_host(wbufs[i])
         log(f"host-side pack cost: "
             f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms")
+        # pipelined start+end pair (the CLI's two-pass flow): the second
+        # pass's pack + H2D + dispatch overlap the first pass's compute
+        t0 = time.perf_counter()
+        for i in (7, 9, 11):  # fresh buffers: result cache would lie
+            p1 = eng.start_pass(wbufs[i], W - 5)
+            p2 = eng.start_pass(wbufs[i + 1], W - 5, prefetch=True)
+            p1.finish()
+            p2.finish()
+        log(f"pipelined start+end pair: "
+            f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms/pair")
     except Exception as e:  # noqa: BLE001
         log(f"full-pass diagnostic unavailable: {e}")
     return pairs_per_s

@@ -246,3 +246,27 @@ def test_multi_run_suffixes(fasta, tmp_path):
     for r in range(2):
         for e in ("start", "end"):
             assert os.path.exists(f"{out}_{r}.{e}")
+
+
+def test_prefetch_pass_equals_sequential(rng):
+    """The pipelined path (_PendingPass + prefetch device_put) must return
+    exactly what the sequential fused path returns."""
+    from approx_counter_tpu.pipeline import Engine
+
+    prm = Params(input_file="<mem>", output="/tmp/x", k=K, sl=SL, limit=LIMIT)
+    eng = Engine(prm, use_pallas=False)
+    windows = rng.integers(0, 4, (64, SL + 1)).astype(np.uint8)
+    from approx_counter_tpu.core.codec import BASE_PAD
+
+    windows[:, -1] = BASE_PAD  # start-style trailing pad column
+    n_valid = 61
+
+    (e1, c1), (a1, n1), s1 = eng.count_one_end(windows, n_valid)
+    (e2, c2), (a2, n2), s2 = eng.start_pass(
+        windows, n_valid, prefetch=True
+    ).finish()
+    np.testing.assert_array_equal(e1, e2)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(n1, n2)
+    assert s1 == s2
