@@ -155,6 +155,89 @@ def pack_windows_host(windows: np.ndarray):
     return planes, m
 
 
+def pack_windows_sparse(windows: np.ndarray, n_valid: int,
+                        ncols: int | None = None, ncap: int = 4096):
+    """Sparse-N variant of :func:`pack_windows_host`: ship ONLY the 2-bit
+    plane (0.25 bytes/base) plus a fixed-size list of N positions.
+
+    The high-bit plane of the dense format distinguishes N(4)/pad(5) from
+    bases, but pad is fully derivable from scalars: the sampler contract
+    (sample/sampler.py) guarantees every valid row carries exactly
+    ``ncols`` real symbols (start windows: width-1 with one trailing pad
+    column; end windows: full width) and rows >= n_valid are all pad.
+    Only N positions are real data, and basecalled reads contain few or
+    none -- so they travel as a scatter list of flattened row*m+col
+    indices (padded with INT32_MAX -- always out of bounds, so the
+    device's mode='drop' scatter ignores it; -1 would WRAP to the last
+    element under JAX indexing).
+
+    Returns (lo_planes uint8 [n, mp/4], n_idx int32 [ncap], ncols, m), or
+    **None** when the batch has more than ``ncap`` Ns (caller falls back
+    to the dense format).  ``ncols=None`` auto-detects start vs end
+    batches from the trailing column of the valid rows.
+    """
+    n, m = windows.shape
+    if ncols is None:
+        ncols = m
+        if n_valid > 0 and (windows[:n_valid, m - 1] == BASE_PAD).all():
+            ncols = m - 1
+    valid = windows[:n_valid, :ncols]
+    n_idx = np.full(ncap, np.iinfo(np.int32).max, np.int32)
+    # fast path: np.max is a cheap single scan; batches are usually N-free
+    if valid.size and int(valid.max()) >= BASE_N:
+        rows, cols = np.nonzero(valid >= BASE_N)
+        if len(rows) > ncap:
+            return None
+        if (valid[rows, cols] != BASE_N).any():
+            # pad (or junk) INSIDE the valid region: the batch violates
+            # the sampler contract this format relies on -- the scatter
+            # would rewrite it as N.  Dense format preserves it exactly.
+            return None
+        n_idx[: len(rows)] = rows.astype(np.int64) * m + cols
+
+    mp = -(-m // 8) * 8
+    w = windows
+    if mp != m or not w.flags.c_contiguous:
+        w = np.full((n, mp), BASE_PAD, np.uint8)
+        w[:, :m] = windows
+    x = w.reshape(-1).view(np.uint32)
+    t = x & np.uint32(0x03030303)
+    t = t | (t >> np.uint32(6))
+    t = (t | (t >> np.uint32(12))) & np.uint32(0xFF)
+    lo = np.ascontiguousarray(t.astype(np.uint8).reshape(n, mp // 4))
+    return lo, n_idx, ncols, m
+
+
+def unpack_windows_sparse_jnp(lo_planes, n_idx, n_valid, ncols, m: int):
+    """Device-side inverse of :func:`pack_windows_sparse` -> uint8 [n, m].
+
+    Reconstructs pad from (ncols, n_valid) iota masks and scatters BASE_N
+    at the listed positions (mode='drop' ignores the out-of-bounds
+    INT32_MAX padding).  ncols
+    and n_valid are traced scalars, so one executable serves both start
+    and end batches.  Plain jnp -- callers jit it (alone or fused)."""
+    import jax.numpy as jnp
+
+    n = lo_planes.shape[0]
+    l32 = lo_planes.astype(jnp.uint32)
+    b = jnp.stack(
+        [(l32 >> jnp.uint32(2 * j)) & jnp.uint32(3) for j in range(4)],
+        axis=2,
+    ).reshape(n, -1)[:, :m]
+    col = jnp.arange(m, dtype=jnp.int32)[None, :]
+    row = jnp.arange(n, dtype=jnp.int32)[:, None]
+    sym = jnp.where(
+        (col < ncols) & (row < n_valid), b, jnp.uint32(BASE_PAD)
+    )
+    sym = (
+        sym.reshape(-1)
+        .at[n_idx]
+        .set(jnp.uint32(BASE_N), mode="drop")
+        .reshape(n, m)
+    )
+    return sym.astype(jnp.uint8)
+
+
 def unpack_windows_jnp(planes, m: int):
     """Device-side inverse of :func:`pack_windows_host` -> uint8 [n, m].
     Plain jnp (callers jit it, alone or fused into a larger step)."""

@@ -27,8 +27,10 @@ import numpy as np
 from approx_counter_tpu.core.codec import (
     join_code,
     pack_windows_host,
+    pack_windows_sparse,
     split_code,
     unpack_windows_jnp,
+    unpack_windows_sparse_jnp,
 )
 from approx_counter_tpu.core.complexity import lc_sum_threshold
 from approx_counter_tpu.count.approx import approx_count_rank
@@ -56,6 +58,11 @@ def _unpack_windows(planes, m: int):
     return unpack_windows_jnp(planes, m)
 
 
+@functools.partial(jax.jit, static_argnames=("m",))
+def _unpack_windows_sparse(lo_planes, n_idx, n_valid, ncols, m: int):
+    return unpack_windows_sparse_jnp(lo_planes, n_idx, n_valid, ncols, m)
+
+
 def _fmt_num(x: float) -> str:
     """C++ default stream float formatting (6 significant digits)."""
     return f"{x:.6g}"
@@ -71,13 +78,12 @@ class _PendingPass:
     so pipelining the two end passes hides most of the second one.
     """
 
-    def __init__(self, engine: "Engine", planes, m: int, n_valid, cap: int):
+    def __init__(self, engine: "Engine", redispatch, cap: int):
         self.engine = engine
-        self.planes = planes  # kept for the (rare) larger-cap re-trace
-        self.m = m
-        self.n_valid = np.int32(n_valid)
+        self.redispatch = redispatch  # cap -> device dict; kept for the
+        #                               (rare) larger-cap re-trace
         self.cap = cap
-        self.dev = engine._dispatch_fused(planes, m, self.n_valid, cap)
+        self.dev = redispatch(cap)
 
     def finish(self):
         """Block, fetch, and post-process; same contract as
@@ -92,8 +98,7 @@ class _PendingPass:
             # only reachable when limit > 2^20 unique passing k-mers:
             # the cap clamp truncated; re-trace at the true size
             cap = _round_up(n_keep, CT)
-            dev = engine._dispatch_fused(self.planes, self.m, self.n_valid,
-                                         cap)
+            dev = self.redispatch(cap)
         approx = engine._truncate_approx(
             out["approx_hi"], out["approx_lo"], out["approx_count"],
             out["approx_valid"],
@@ -139,13 +144,22 @@ class Engine:
         sel_valid[: len(codes)] = True
         return sel_hi, sel_lo, sel_valid, cap
 
-    def device_windows(self, windows):
-        """Ship a host window batch to the device via the 2-bit-packed
-        planes (0.375 bytes/base H2D instead of 1 -- the 4 MB uint8
-        transfer dominates full-pass latency on the remote tunnel) and
-        unpack on device.  Device arrays pass through untouched."""
+    def device_windows(self, windows, n_valid: int | None = None):
+        """Ship a host window batch to the device 2-bit-packed (sparse-N
+        format when ``n_valid`` is known and the batch has <= 4096 Ns:
+        0.25 B/base; dense two-plane format otherwise: 0.375 B/base --
+        the raw 4 MB uint8 transfer dominates full-pass latency on the
+        remote tunnel) and unpack on device.  Device arrays pass through
+        untouched."""
         if not isinstance(windows, np.ndarray):
             return windows
+        if n_valid is not None:
+            sp = pack_windows_sparse(windows, int(n_valid))
+            if sp is not None:
+                lo, n_idx, ncols, m = sp
+                return _unpack_windows_sparse(
+                    lo, n_idx, np.int32(n_valid), np.int32(ncols), m=m
+                )
         planes, m = pack_windows_host(windows)
         return _unpack_windows(planes, m=m)
 
@@ -167,7 +181,7 @@ class Engine:
             return self.start_pass(windows, n_valid).finish()
 
         cap = max(512, _round_up(min(prm.limit, 1 << 20), CT))
-        windows = self.device_windows(windows)
+        windows = self.device_windows(windows, n_valid)
         while True:
             dev_out = exact_count_select(
                 windows,
@@ -204,24 +218,28 @@ class Engine:
         exact_counts = out["sel_count"][:n_keep].astype(np.uint64)
         return (exact_codes, exact_counts), approx, stats
 
-    def _fused_fn(self, cap: int, m: int):
-        """One jitted device program for a full top-N pass: 2-bit-plane
+    def _fused_fn(self, cap: int, m: int, fmt: str = "dense"):
+        """One jitted device program for a full top-N pass: packed-window
         unpack + exact count + selection + BPM scoring + CompareCount
         re-rank (single dispatch, single fetch, packed H2D -- the
         remote-tunnel round trips and the 4 MB raw window transfer
         dominate otherwise).
 
-        Cached per (cap, m) in an instance dict (a method-level lru_cache
-        would pin ``self`` forever -- a leak for library embeddings that
-        create many Engines)."""
-        if (cap, m) in self._fused_cache:
-            return self._fused_cache[(cap, m)]
+        ``fmt``: 'sparse' ships the 2-bit plane + N scatter list
+        (0.25 B/base, the production path); 'dense' ships the two-plane
+        format (0.375 B/base, the fallback for > ncap Ns and the
+        ``_fused_step`` compatibility path).
+
+        Cached per (cap, m, fmt) in an instance dict (a method-level
+        lru_cache would pin ``self`` forever -- a leak for library
+        embeddings that create many Engines)."""
+        key = (cap, m, fmt)
+        if key in self._fused_cache:
+            return self._fused_cache[key]
         prm = self.prm
         from approx_counter_tpu.count.approx import approx_count_rank
 
-        @jax.jit
-        def step(planes, n_valid, lc_thr, fhi, flo, limit, solid_km):
-            windows = unpack_windows_jnp(planes, m)
+        def body(windows, n_valid, lc_thr, fhi, flo, limit, solid_km):
             ex = exact_count_select(
                 windows, n_valid, prm.k, lc_thr, fhi, flo, limit, solid_km,
                 cap=cap, n_forbidden=len(self.forbidden), use_solid=False,
@@ -236,7 +254,26 @@ class Engine:
                 approx_count=a_cnt, approx_valid=a_val,
             )
 
-        self._fused_cache[(cap, m)] = step
+        if fmt == "sparse":
+
+            @jax.jit
+            def step(lo_planes, n_idx, ncols, n_valid, lc_thr, fhi, flo,
+                     limit, solid_km):
+                windows = unpack_windows_sparse_jnp(
+                    lo_planes, n_idx, n_valid, ncols, m
+                )
+                return body(windows, n_valid, lc_thr, fhi, flo, limit,
+                            solid_km)
+
+        else:
+
+            @jax.jit
+            def step(planes, n_valid, lc_thr, fhi, flo, limit, solid_km):
+                windows = unpack_windows_jnp(planes, m)
+                return body(windows, n_valid, lc_thr, fhi, flo, limit,
+                            solid_km)
+
+        self._fused_cache[key] = step
         return step
 
     def _dispatch_fused(self, planes, m: int, n_valid, cap: int):
@@ -258,15 +295,46 @@ class Engine:
         """Pack + dispatch one fused top-N pass; returns a ``_PendingPass``
         (call ``.finish()`` for the results).
 
-        ``prefetch=True`` additionally ships the packed planes with an
+        Windows ship in the sparse-N 2-bit format (0.25 B/base: 2-bit
+        plane + N scatter list + derivable pad) unless the batch carries
+        more than 4096 Ns, in which case the dense two-plane format
+        (0.375 B/base) is used.
+
+        ``prefetch=True`` additionally ships the packed buffers with an
         explicit async ``device_put`` *before* dispatch, so a pass queued
         behind an in-flight one starts its H2D immediately instead of at
         execution time."""
         cap = max(512, _round_up(min(self.prm.limit, 1 << 20), CT))
-        planes, m = pack_windows_host(np.asarray(windows))
-        if prefetch:
-            planes = jax.device_put(planes)
-        return _PendingPass(self, planes, m, n_valid, cap)
+        windows = np.asarray(windows)
+        n_valid32 = np.int32(n_valid)
+        prm = self.prm
+        tail = (
+            self.lc_sum_thr, self.fhi, self.flo,
+            np.int32(min(prm.limit, np.iinfo(np.int32).max)),
+            np.int32(prm.solid_km),
+        )
+        sparse = pack_windows_sparse(windows, int(n_valid))
+        if sparse is not None:
+            lo_planes, n_idx, ncols, m = sparse
+            if prefetch:
+                lo_planes = jax.device_put(lo_planes)
+
+            def redispatch(cap):
+                return self._fused_fn(cap, m, "sparse")(
+                    lo_planes, n_idx, np.int32(ncols), n_valid32, *tail
+                )
+
+        else:
+            planes, m = pack_windows_host(windows)
+            if prefetch:
+                planes = jax.device_put(planes)
+
+            def redispatch(cap):
+                return self._fused_fn(cap, m, "dense")(
+                    planes, n_valid32, *tail
+                )
+
+        return _PendingPass(self, redispatch, cap)
 
     def _truncate_approx(self, a_hi, a_lo, a_cnt, a_val):
         """Truncate fetched approx arrays to limit (the final resize, :923)."""
@@ -305,7 +373,7 @@ class Engine:
     def approx_stage(self, windows, n_valid, sel_hi, sel_lo, sel_valid, cap):
         """BPM scoring + CompareCount re-rank -> (codes, counts) truncated
         to limit (resume-from-exact path)."""
-        windows = self.device_windows(windows)
+        windows = self.device_windows(windows, n_valid)
         return self._approx_finish(
             self._approx_dispatch(windows, n_valid, sel_hi, sel_lo,
                                   sel_valid, cap)
@@ -370,6 +438,30 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
     rng = np.random.default_rng(prm.seed)
     sn = prm.sn
 
+    # Pass pipelining: while one pass computes on device, the NEXT pass's
+    # host work (sampling, 2-bit packing, async H2D) runs on the host and
+    # its dispatch queues behind the in-flight pass -- on this
+    # remote-tunnel stack transfers dominate full-pass latency, so every
+    # pass after the first hides most of its non-compute cost.  The next
+    # pass is the same run's end pass, or (multi-run) the next run's start
+    # pass.  Sampling order (start, end, start, ...) is unchanged, so
+    # seeded outputs are byte-identical to the sequential path.
+    can_pipeline = resume_codes is None and prm.solid_km <= 0
+    runs_end_pass = (not prm.skip_end) or (
+        prm.compat_quirks and mr_v == 0  # reference skip_end bug
+    )
+
+    def next_pass_key(run: int, which_end: str):
+        if which_end == "start" and runs_end_pass:
+            return (run, "end")
+        if run + 1 < prm.nb_of_runs and not prm.stream:
+            # cross-run: next run's start (streaming re-reads the file at
+            # the top of the run loop, so only in-memory mode prefetches)
+            return (run + 1, "start")
+        return None
+
+    prefetched = None  # (key, batch, t_sample, pending _PendingPass)
+
     for current_run in range(prm.nb_of_runs):
         run_suffix = f"_{current_run}"
         if prm.nb_of_runs > 1 and v > 0:
@@ -393,19 +485,6 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
             warn("The whole set will be used.")
             sn = n_reads
 
-        # Two-pass pipelining: while the start pass computes on device, the
-        # end pass's host work (sampling, 2-bit packing, async H2D) runs on
-        # the host and its dispatch queues behind the start pass -- on this
-        # remote-tunnel stack transfers dominate full-pass latency, so the
-        # second pass's transfer cost is almost entirely hidden.  Sampling
-        # order (start rng draw, then end) is unchanged, so seeded outputs
-        # are byte-identical to the sequential path.
-        can_pipeline = resume_codes is None and prm.solid_km <= 0
-        runs_end_pass = (not prm.skip_end) or (
-            prm.compat_quirks and mr_v == 0  # reference skip_end bug
-        )
-        prefetched = None  # (batch, t_sample, pending _PendingPass) for end
-
         tab_level += 1
         for which_end in ("start", "end"):
             bottom = which_end == "end"
@@ -421,9 +500,12 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
                     tab_level,
                 )
             pending = None
-            if bottom and prefetched is not None:
-                batch, t_sample, pending = prefetched
+            from_prefetch = False
+            if prefetched is not None and prefetched[0] == (current_run,
+                                                           which_end):
+                _, batch, t_sample, pending = prefetched
                 prefetched = None
+                from_prefetch = True
             else:
                 t_sample = time.perf_counter()
                 if stream_batches is not None:
@@ -455,18 +537,21 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
             else:
                 if pending is None and can_pipeline:
                     pending = engine.start_pass(batch.windows, batch.n_valid)
-                if pending is not None and not bottom and runs_end_pass:
-                    # start pass is in flight: overlap the end pass's
+                nxt = next_pass_key(current_run, which_end)
+                if pending is not None and nxt is not None:
+                    # a pass is in flight: overlap the next pass's
                     # sample + pack + H2D + dispatch with it
                     t_s2 = time.perf_counter()
-                    if stream_batches is not None:
-                        batch2 = stream_batches["end"]
+                    if stream_batches is not None and nxt[0] == current_run:
+                        batch2 = stream_batches[nxt[1]]
                     else:
                         batch2 = sample_windows(
-                            reads, sn, prm.sl, end=True, rng=rng, pad_to=WT
+                            reads, sn, prm.sl, end=nxt[1] == "end", rng=rng,
+                            pad_to=WT,
                         )
                     t_s2 = time.perf_counter() - t_s2
                     prefetched = (
+                        nxt,
                         batch2,
                         t_s2,
                         engine.start_pass(
@@ -489,7 +574,7 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
             if mr_v >= 2:
                 n_cand = stats["n_keep"]
                 pairs = n_cand * batch.n_valid
-                pipelined = " (pipelined)" if bottom and can_pipeline else ""
+                pipelined = " (pipelined)" if from_prefetch else ""
                 log(
                     f"[stats] sample {t_sample * 1e3:.1f} ms | "
                     f"count+score {t_count * 1e3:.1f} ms{pipelined} | "

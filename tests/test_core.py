@@ -73,6 +73,66 @@ class TestCodec:
         out2 = np.asarray(unpack_windows_jnp(jnp.asarray(planes2), m))
         np.testing.assert_array_equal(out2, wx)
 
+    @pytest.mark.parametrize("m,ncols_off", [(8, 0), (101, 1), (104, 0),
+                                             (26, 1)])
+    def test_pack_windows_sparse_roundtrip(self, m, ncols_off, rng):
+        """Sparse-N format: 2-bit plane + scatter list + derivable pad
+        reconstructs the sampler-contract batch exactly (N positions,
+        trailing start-pad column, invalid pad rows, ragged widths)."""
+        import jax.numpy as jnp
+
+        from approx_counter_tpu.core.codec import (
+            BASE_N,
+            BASE_PAD,
+            pack_windows_sparse,
+            unpack_windows_sparse_jnp,
+        )
+
+        n, n_valid = 12, 9
+        ncols = m - ncols_off
+        w = np.full((n, m), BASE_PAD, np.uint8)
+        w[:n_valid, :ncols] = rng.integers(0, 4, (n_valid, ncols))
+        # sprinkle Ns in the valid region (incl. edges)
+        w[0, 0] = BASE_N
+        w[n_valid - 1, ncols - 1] = BASE_N
+        if ncols > 2:
+            w[2, ncols // 2] = BASE_N
+        lo, n_idx, got_ncols, mm = pack_windows_sparse(w, n_valid)
+        assert (got_ncols, mm) == (ncols, m)
+        out = np.asarray(
+            unpack_windows_sparse_jnp(
+                jnp.asarray(lo), jnp.asarray(n_idx), np.int32(n_valid),
+                np.int32(got_ncols), m,
+            )
+        )
+        np.testing.assert_array_equal(out, w)
+
+    def test_pack_windows_sparse_overflow_and_clean(self, rng):
+        """> ncap Ns -> None (dense fallback); N-free batch -> empty list."""
+        from approx_counter_tpu.core.codec import (
+            BASE_N,
+            pack_windows_sparse,
+        )
+
+        w = rng.integers(0, 4, (8, 64)).astype(np.uint8)
+        lo, n_idx, ncols, m = pack_windows_sparse(w, 8)
+        assert (n_idx == np.iinfo(np.int32).max).all() and ncols == 64
+        w[:4, :] = BASE_N  # 256 Ns > ncap=16
+        assert pack_windows_sparse(w, 8, ncap=16) is None
+
+    def test_pack_windows_sparse_interior_pad_falls_back(self, rng):
+        """Pad INSIDE the valid region violates the sampler contract the
+        sparse format relies on -> None (dense fallback), never silent
+        corruption."""
+        from approx_counter_tpu.core.codec import (
+            BASE_PAD,
+            pack_windows_sparse,
+        )
+
+        w = rng.integers(0, 4, (6, 32)).astype(np.uint8)
+        w[3, 10] = BASE_PAD
+        assert pack_windows_sparse(w, 6) is None
+
 
 class TestIsDna:
     def test_pure_and_tainted(self):

@@ -270,3 +270,68 @@ def test_prefetch_pass_equals_sequential(rng):
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(n1, n2)
     assert s1 == s2
+
+
+def test_multirun_pipelined_rng_order(fasta, tmp_path):
+    """Cross-run prefetching must not change the sampling draw order:
+    seeded sub-sampled multi-run outputs equal a manually-driven
+    sequential run (start0, end0, start1, end1 rng order)."""
+    from approx_counter_tpu.io.export import export_counter
+    from approx_counter_tpu.io.fastx import read_fastx
+    from approx_counter_tpu.pipeline import WT, Engine
+    from approx_counter_tpu.sample.sampler import sample_windows
+
+    path, _ = fasta
+    out = tmp_path / "o.txt"
+    prm = Params(
+        input_file=str(path), output=str(out), k=K, sl=SL,
+        sn=5,  # sub-sampled: draw order matters
+        limit=7, nb_of_runs=2, v=0, seed=99,
+    )
+    assert run_pipeline(prm) == 0
+
+    reads = read_fastx(str(path))
+    rng = np.random.default_rng(99)
+    eng = Engine(prm, use_pallas=False)
+    for r in range(2):
+        for end in (False, True):
+            batch = sample_windows(reads, 5, SL, end=end, rng=rng, pad_to=WT)
+            _, (ac, an), _ = eng.count_one_end(batch.windows, batch.n_valid)
+            want = tmp_path / f"want_{r}.{'end' if end else 'start'}"
+            assert export_counter(ac, an, K, str(want))
+            got = f"{out}_{r}.{'end' if end else 'start'}"
+            assert open(got).read() == open(want).read()
+
+
+def test_n_reads_byte_parity_and_warning(tmp_path, capsys):
+    """End-to-end with N-containing reads: exercises the sparse-N window
+    transfer (2-bit plane + scatter list) through the fused pass -- byte
+    parity vs the oracle plus the reference's had-N stderr warning."""
+    rng = np.random.default_rng(31)
+    k, sl, limit, n_reads = 6, 16, 12, 10
+    reads = []
+    for i in range(n_reads):
+        s = list(codes_to_seq(rng.integers(0, 4, 40).astype(np.uint8)))
+        if i % 3 != 2:  # Ns inside both the start and end windows
+            s[rng.integers(0, sl)] = "N"
+            s[40 - 1 - rng.integers(0, sl)] = "N"
+        reads.append("".join(s))
+    p = tmp_path / "r.fasta"
+    with open(p, "w") as f:
+        for i, s in enumerate(reads):
+            f.write(f">r{i}\n{s}\n")
+    out, exact = tmp_path / "o.txt", tmp_path / "e.txt"
+    prm = Params(
+        input_file=str(p), output=str(out), exact_out=str(exact),
+        k=k, sl=sl, sn=n_reads, limit=limit, param_lc=1000.0, v=0, seed=4,
+    )
+    assert run_pipeline(prm) == 0
+    err = capsys.readouterr().err
+    assert "sequences with 'N' symbols" in err
+    for end in (False, True):
+        suffix = "_0.end" if end else "_0.start"
+        want_exact, want_approx = oracle_outputs(
+            reads, k, sl, 1000.0, limit, end=end
+        )
+        assert open(str(exact) + suffix).read() == want_exact, suffix
+        assert open(str(out) + suffix).read() == want_approx, suffix
