@@ -129,16 +129,23 @@ def bench_tpu() -> float:
         eng = Engine(Params(input_file="bench", sn=W, sl=M - 1, k=K),
                      use_pallas=use_pallas)
         wbufs = [
-            rng.integers(0, 4, (W, M)).astype(np.uint8) for _ in range(13)
+            rng.integers(0, 4, (W, M)).astype(np.uint8) for _ in range(16)
         ]
-        # production path: host 2-bit pack -> packed H2D -> ONE fused
-        # dispatch (unpack + exact + BPM + rank) -> fetch
-        jax.block_until_ready(eng._fused_step(wbufs[0], np.int32(W), 512))
+        # production path: host 2-bit sparse-N pack -> 0.25 B/base H2D ->
+        # ONE fused dispatch (unpack + exact + BPM + rank) -> fetch
+        eng.start_pass(wbufs[0], W - 5).finish()  # warm sparse executable
         t0 = time.perf_counter()
         for i in range(1, 4):  # distinct buffers; includes H2D + fetch
-            jax.device_get(eng._fused_step(wbufs[i], np.int32(W), 512))
-        log(f"full pass (fused exact+BPM+rank, packed H2D): "
+            eng.start_pass(wbufs[i], W - 5).finish()
+        log(f"full pass (fused exact+BPM+rank, sparse-N 2-bit H2D): "
             f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms")
+        # dense two-plane alternate (the >4096-N fallback path)
+        jax.block_until_ready(eng._fused_step(wbufs[13], np.int32(W), 512))
+        t0 = time.perf_counter()
+        for i in range(14, 16):
+            jax.device_get(eng._fused_step(wbufs[i], np.int32(W), 512))
+        log(f"full pass (dense two-plane fallback): "
+            f"{(time.perf_counter() - t0) / 2 * 1e3:.1f} ms")
         # A/B the window transfer itself: raw uint8 vs packed planes
         from approx_counter_tpu.core.codec import pack_windows_host
 
