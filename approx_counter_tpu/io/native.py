@@ -52,8 +52,43 @@ def _load():
         ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
     ]
+    lib.fastx_pack_windows_sparse.restype = ctypes.c_int64
+    lib.fastx_pack_windows_sparse.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ]
     _LIB = lib
     return lib
+
+
+def pack_windows_sparse_native(
+    windows: np.ndarray, n_valid: int, ncols: int, ncap: int
+):
+    """Native fused 2-bit pack + N scan (see core/codec.py
+    pack_windows_sparse for the format).  Returns (lo, n_idx) on success,
+    None when the batch needs the dense fallback (> ncap Ns or a non-N
+    symbol >= 4 inside the valid region); raises ImportError when the
+    library isn't built (caller falls back to the numpy SWAR pack)."""
+    lib = _load()
+    assert windows.flags.c_contiguous and windows.dtype == np.uint8
+    n, m = windows.shape
+    if n * m >= 2**31:  # scatter indices are int32
+        return None
+    mp = -(-m // 8) * 8
+    lo = np.empty((n, mp // 4), np.uint8)
+    n_idx = np.full(ncap, np.iinfo(np.int32).max, np.int32)
+    rc = lib.fastx_pack_windows_sparse(
+        windows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, m, n_valid, ncols,
+        lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ncap,
+    )
+    if rc < 0:
+        return None
+    return lo, n_idx
 
 
 def gather_windows_native(

@@ -393,6 +393,71 @@ void fastx_gather_windows(const uint8_t *buf, const int64_t *starts,
     }
 }
 
+// Sparse-N 2-bit window pack (core/codec.py pack_windows_sparse, native
+// fast path): write the 2-bit plane (4 bases/byte, base j of each 4-group
+// at bit 2*(j%4); row width ceil(m/8)*8/4 bytes) and collect the flattened
+// row*m+col indices of N symbols inside the valid region
+// [0, n_valid) x [0, ncols).  The numpy SWAR pack costs 5-25 ms per
+// default batch on this throttle-prone host; this is a single streaming
+// pass (~1-2 ms).
+// Returns: #N positions (>= 0); -1 if more than ncap Ns (caller falls
+// back to the dense format); -2 if a non-N symbol >= 4 sits inside the
+// valid region (sampler-contract violation -- caller falls back).
+int64_t fastx_pack_windows_sparse(const uint8_t *w, int64_t n, int64_t m,
+                                  int64_t n_valid, int64_t ncols,
+                                  uint8_t *lo, int32_t *n_idx,
+                                  int64_t ncap) {
+    const int64_t mp = ((m + 7) / 8) * 8;
+    const int64_t row_bytes = mp / 4;
+    int64_t n_n = 0;
+    for (int64_t r = 0; r < n; r++) {
+        const uint8_t *src = w + r * m;
+        uint8_t *dst = lo + r * row_bytes;
+        int64_t c = 0;
+        // full 4-groups inside the row
+        for (; c + 4 <= m; c += 4) {
+            dst[c / 4] = (uint8_t)((src[c] & 3) | ((src[c + 1] & 3) << 2) |
+                                   ((src[c + 2] & 3) << 4) |
+                                   ((src[c + 3] & 3) << 6));
+        }
+        // ragged tail: pad with BASE_PAD(5)&3 = 1 (sliced off on device)
+        for (int64_t g = c; g < mp; g += 4) {
+            uint8_t b = 0;
+            for (int t = 0; t < 4; t++) {
+                uint8_t v = (g + t < m) ? src[g + t] : 5;
+                b |= (uint8_t)((v & 3) << (2 * t));
+            }
+            dst[g / 4] = b;
+        }
+        if (r >= n_valid) continue;
+        // N scan over the valid columns: SWAR word test, rare slow path
+        int64_t cc = 0;
+        for (; cc + 8 <= ncols; cc += 8) {
+            uint64_t x;
+            memcpy(&x, src + cc, 8);
+            if (x & 0x0404040404040404ULL) {
+                for (int t = 0; t < 8; t++) {
+                    uint8_t v = src[cc + t];
+                    if (v >= 4) {
+                        if (v != 4) return -2;
+                        if (n_n >= ncap) return -1;
+                        n_idx[n_n++] = (int32_t)(r * m + cc + t);
+                    }
+                }
+            }
+        }
+        for (; cc < ncols; cc++) {
+            uint8_t v = src[cc];
+            if (v >= 4) {
+                if (v != 4) return -2;
+                if (n_n >= ncap) return -1;
+                n_idx[n_n++] = (int32_t)(r * m + cc);
+            }
+        }
+    }
+    return n_n;
+}
+
 int64_t fastx_n_reads(Handle *h) { return (int64_t)h->offsets.size() - 1; }
 int64_t fastx_total_bases(Handle *h) { return (int64_t)h->buf.size(); }
 const uint8_t *fastx_buf(Handle *h) {

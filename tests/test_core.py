@@ -120,6 +120,44 @@ class TestCodec:
         w[:4, :] = BASE_N  # 256 Ns > ncap=16
         assert pack_windows_sparse(w, 8, ncap=16) is None
 
+    def test_pack_windows_sparse_native_matches_numpy(self, rng,
+                                                      monkeypatch):
+        """The C++ fused pack+N-scan and the numpy SWAR path must produce
+        identical planes and scatter lists (incl. overflow/contract
+        fallbacks)."""
+        import approx_counter_tpu.io.native as native_mod
+        from approx_counter_tpu.core.codec import (
+            BASE_N,
+            pack_windows_sparse,
+        )
+
+        pytest.importorskip("ctypes")
+        try:
+            native_mod._load()
+        except ImportError:
+            pytest.skip("native lib not built")
+
+        n, m, n_valid = 16, 101, 13
+        w = np.full((n, m), 5, np.uint8)
+        w[:n_valid, : m - 1] = rng.integers(0, 4, (n_valid, m - 1))
+        for _ in range(7):
+            w[rng.integers(0, n_valid), rng.integers(0, m - 1)] = BASE_N
+        got_native = pack_windows_sparse(w, n_valid)
+
+        def _no_native(*a, **k):
+            raise ImportError
+
+        monkeypatch.setattr(native_mod, "pack_windows_sparse_native",
+                            _no_native)
+        got_numpy = pack_windows_sparse(w, n_valid)
+        assert got_native is not None and got_numpy is not None
+        for a, b in zip(got_native, got_numpy):
+            np.testing.assert_array_equal(a, b)
+        # overflow fallback agrees too
+        w[:n_valid, :8] = BASE_N
+        monkeypatch.undo()
+        assert pack_windows_sparse(w, n_valid, ncap=16) is None
+
     def test_pack_windows_sparse_interior_pad_falls_back(self, rng):
         """Pad INSIDE the valid region violates the sampler contract the
         sparse format relies on -> None (dense fallback), never silent
