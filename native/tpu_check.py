@@ -93,6 +93,46 @@ for k in (2, 8, 16, 31, 32):
             record(f"k={k:2d} maxerr={maxerr} {name:10s}: "
                    + ("OK" if ok else f"FAIL {want[:5]} vs {got[:5]}"))
 
+# Window-transfer roundtrips on hardware: the sparse-N scatter
+# (unpack_windows_sparse_jnp) and the dense two-plane unpack lower through
+# Mosaic/XLA-TPU paths the CPU tests never touch.
+from functools import partial  # noqa: E402
+
+from approx_counter_tpu.core.codec import (  # noqa: E402
+    BASE_N,
+    BASE_PAD,
+    pack_windows_host,
+    pack_windows_sparse,
+    unpack_windows_jnp,
+    unpack_windows_sparse_jnp,
+)
+
+n_r, m_r, nv, ncols = 256, 101, 250, 100
+wb = np.full((n_r, m_r), BASE_PAD, np.uint8)
+wb[:nv, :ncols] = rng.integers(0, 4, (nv, ncols))
+for _ in range(57):  # real N scatter indices, incl. duplicates-free edges
+    wb[rng.integers(0, nv), rng.integers(0, ncols)] = BASE_N
+wb[0, 0] = BASE_N
+wb[nv - 1, ncols - 1] = BASE_N
+
+sp = pack_windows_sparse(wb, nv)
+assert sp is not None
+lo_p, n_idx, got_ncols, _ = sp
+got = np.asarray(
+    jax.jit(partial(unpack_windows_sparse_jnp, m=m_r))(
+        lo_p, n_idx, np.int32(nv), np.int32(got_ncols)
+    )
+)
+ok = (got == wb).all()
+fails += 0 if ok else 1
+record("sparse-N window unpack roundtrip: " + ("OK" if ok else "FAIL"))
+
+planes, _ = pack_windows_host(wb)
+got = np.asarray(jax.jit(partial(unpack_windows_jnp, m=m_r))(planes))
+ok = (got == wb).all()
+fails += 0 if ok else 1
+record("dense window unpack roundtrip:    " + ("OK" if ok else "FAIL"))
+
 verdict = "PASS" if fails == 0 else f"FAIL ({fails})"
 record(f"TPU-CHECK {verdict}")
 with open(OUT, "w") as f:
