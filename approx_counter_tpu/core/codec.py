@@ -116,11 +116,23 @@ def join_code(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Packed window transfer: the sampled batch is 3-bit symbols (0..3 bases,
 # 4 N, 5 pad) shipped host->device one byte per base -- ~4 MB per default
-# pass through the (remote) device tunnel.  Packing into a 2-bit base plane
-# (4 bases/byte) + a high-bit plane (8 bases/byte) cuts the transfer to
-# 0.375 bytes/base; the device unpack is a handful of shift/ands that XLA
-# fuses, and every downstream consumer sees the same uint8 [n, m] batch.
-# sym == (sym & 3) | ((sym >> 2) << 2) restores exactly: 4 -> 0|4, 5 -> 1|4.
+# pass through the (remote) device tunnel.  Two packed formats:
+#
+#   * sparse-N (production, 0.25 B/base): the 2-bit plane alone + a
+#     fixed-size N-position scatter list; pad is *derived* on device from
+#     (ncols, n_valid) iota masks via the sampler contract (every valid
+#     row holds exactly ncols real symbols, rows >= n_valid are all pad).
+#     Falls back to dense when the batch has > ncap Ns or violates the
+#     contract.  Host side rides a fused C++ single pass when the native
+#     lib is built (io/native.py pack_windows_sparse_native).
+#   * dense two-plane (fallback, 0.375 B/base): 2-bit base plane
+#     (4 bases/byte) + high-bit plane (8 bases/byte); represents ANY
+#     symbol batch exactly: sym == (sym & 3) | ((sym >> 2) << 2)
+#     restores 4 -> 0|4, 5 -> 1|4.
+#
+# The device unpack is a handful of shift/ands (+ one small scatter for
+# sparse) that XLA fuses into the consuming pass; every downstream
+# consumer sees the same uint8 [n, m] batch.
 # ---------------------------------------------------------------------------
 
 
