@@ -73,9 +73,9 @@ class _PendingPass:
 
     Splitting dispatch from fetch lets the driver overlap the *next*
     pass's host work (sampling, 2-bit packing, H2D through the remote
-    tunnel) with this pass's device compute -- on this stack the
-    transfer+dispatch round trips dominate the ~95 ms full-pass latency,
-    so pipelining the two end passes hides most of the second one.
+    tunnel) with this pass's device compute -- on this stack host pack +
+    H2D is ~63% of a cold pass (native/pass_decomp.py), so pipelining
+    consecutive passes hides most of each pass after the first.
     """
 
     def __init__(self, engine: "Engine", redispatch, cap: int):
