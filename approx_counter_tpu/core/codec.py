@@ -136,31 +136,43 @@ def join_code(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def pack_windows_host(windows: np.ndarray):
-    """uint8 [n, m] ordinal batch -> (planes [n, ceil(m/8)*3], m): one
-    contiguous uint8 buffer holding the 2-bit plane (first 2*mp/8 columns,
-    base j of each 4-group at bit 2*(j%4)) then the high-bit plane (byte
-    j%8 at bit j) -- a single array so the transfer is one H2D op.
-
-    All pack arithmetic runs on contiguous uint32 views with SWAR
-    bit-gather multiplies (a strided-slice formulation measured ~24 ms on
-    this throttle-prone host; this runs in a few ms)."""
+def _padded_words(windows: np.ndarray):
+    """[n, m] uint8 -> contiguous uint32 view of the mp-padded batch
+    (mp = ceil(m/8)*8; pad value BASE_PAD), 4 bases per little-endian
+    word.  Shared by both pack formats so their 2-bit planes can never
+    diverge."""
     n, m = windows.shape
     mp = -(-m // 8) * 8
     w = windows
     if mp != m or not w.flags.c_contiguous:
         w = np.full((n, mp), BASE_PAD, np.uint8)
         w[:, :m] = windows
-    x = w.reshape(-1).view(np.uint32)  # 4 bases/word, little-endian
-    # 2-bit plane: gather the four 2-bit fields of each word into a byte
+    return w.reshape(-1).view(np.uint32), mp
+
+
+def _lo_plane_swar(x: np.ndarray, n: int, mp: int) -> np.ndarray:
+    """uint32 word view -> [n, mp/4] 2-bit plane (base j of each 4-group
+    at bit 2*(j%4)): SWAR bit-gather of the four 2-bit fields of each
+    word into one byte (a strided-slice formulation measured ~24 ms on
+    this throttle-prone host; this runs in a few ms)."""
     t = x & np.uint32(0x03030303)
     t = t | (t >> np.uint32(6))
     t = (t | (t >> np.uint32(12))) & np.uint32(0xFF)
+    return t.astype(np.uint8).reshape(n, mp // 4)
+
+
+def pack_windows_host(windows: np.ndarray):
+    """uint8 [n, m] ordinal batch -> (planes [n, ceil(m/8)*3], m): one
+    contiguous uint8 buffer holding the 2-bit plane (first 2*mp/8 columns)
+    then the high-bit plane (byte j%8 at bit j) -- a single array so the
+    transfer is one H2D op."""
+    n, m = windows.shape
+    x, mp = _padded_words(windows)
+    planes = np.empty((n, (mp // 8) * 3), np.uint8)
+    planes[:, : mp // 4] = _lo_plane_swar(x, n, mp)
     # high-bit plane: nibble per word via bit-gather multiply
     u = (x >> np.uint32(2)) & np.uint32(0x01010101)
     nib = ((u * np.uint32(0x01020408)) >> np.uint32(24)) & np.uint32(0xF)
-    planes = np.empty((n, (mp // 8) * 3), np.uint8)
-    planes[:, : mp // 4] = t.astype(np.uint8).reshape(n, mp // 4)
     nib = nib.reshape(n, mp // 4)
     planes[:, mp // 4 :] = (nib[:, 0::2] | (nib[:, 1::2] << np.uint32(4))
                             ).astype(np.uint8)
@@ -225,16 +237,8 @@ def pack_windows_sparse(windows: np.ndarray, n_valid: int,
             return None
         n_idx[: len(rows)] = rows.astype(np.int64) * m + cols
 
-    mp = -(-m // 8) * 8
-    w = windows
-    if mp != m or not w.flags.c_contiguous:
-        w = np.full((n, mp), BASE_PAD, np.uint8)
-        w[:, :m] = windows
-    x = w.reshape(-1).view(np.uint32)
-    t = x & np.uint32(0x03030303)
-    t = t | (t >> np.uint32(6))
-    t = (t | (t >> np.uint32(12))) & np.uint32(0xFF)
-    lo = np.ascontiguousarray(t.astype(np.uint8).reshape(n, mp // 4))
+    x, mp = _padded_words(windows)
+    lo = _lo_plane_swar(x, n, mp)
     return lo, n_idx, ncols, m
 
 

@@ -47,7 +47,7 @@ def _as_sortable_i32(x):
     )
 
 
-def _topk_rank(key1, s_lo, cap: int, db: int, P: int):
+def _topk_rank(key1, s_lo, cap: int):
     """Exact CompareCount top-``cap`` selection without sorting all P
     entries: two lax.top_k passes + a tiny exact sort.
 
@@ -250,7 +250,7 @@ def exact_count_select_rows(
             # exact sort instead of sorting all P positions (only the
             # n_unique run starts are real; the full ranking sort was ~9 ms
             # of the ~19 ms exact stage at reference defaults).
-            o1, o4 = _topk_rank(key1, s_lo, cap, db, P)
+            o1, o4 = _topk_rank(key1, s_lo, cap)
             sel_hi = jnp.zeros(cap, jnp.uint32)
         elif k <= 16:  # hi is identically zero; drop its key from the sort
             o1, o4 = jax.lax.sort([key1, ~s_lo], num_keys=2)

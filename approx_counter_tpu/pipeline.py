@@ -228,7 +228,9 @@ class Engine:
         ``fmt``: 'sparse' ships the 2-bit plane + N scatter list
         (0.25 B/base, the production path); 'dense' ships the two-plane
         format (0.375 B/base, the fallback for > ncap Ns and the
-        ``_fused_step`` compatibility path).
+        ``_fused_step`` compatibility path); 'raw' takes an already
+        device-resident uint8 [n, m] batch (no transfer, no unpack --
+        the library-embedding path).
 
         Cached per (cap, m, fmt) in an instance dict (a method-level
         lru_cache would pin ``self`` forever -- a leak for library
@@ -265,6 +267,13 @@ class Engine:
                 return body(windows, n_valid, lc_thr, fhi, flo, limit,
                             solid_km)
 
+        elif fmt == "raw":
+
+            @jax.jit
+            def step(windows, n_valid, lc_thr, fhi, flo, limit, solid_km):
+                return body(windows, n_valid, lc_thr, fhi, flo, limit,
+                            solid_km)
+
         else:
 
             @jax.jit
@@ -295,17 +304,17 @@ class Engine:
         """Pack + dispatch one fused top-N pass; returns a ``_PendingPass``
         (call ``.finish()`` for the results).
 
-        Windows ship in the sparse-N 2-bit format (0.25 B/base: 2-bit
-        plane + N scatter list + derivable pad) unless the batch carries
-        more than 4096 Ns, in which case the dense two-plane format
-        (0.375 B/base) is used.
+        Host batches ship in the sparse-N 2-bit format (0.25 B/base:
+        2-bit plane + N scatter list + derivable pad) unless the batch
+        carries more than 4096 Ns, in which case the dense two-plane
+        format (0.375 B/base) is used.  Device-resident batches dispatch
+        directly (no transfer).
 
         ``prefetch=True`` additionally ships the packed buffers with an
         explicit async ``device_put`` *before* dispatch, so a pass queued
         behind an in-flight one starts its H2D immediately instead of at
         execution time."""
         cap = max(512, _round_up(min(self.prm.limit, 1 << 20), CT))
-        windows = np.asarray(windows)
         n_valid32 = np.int32(n_valid)
         prm = self.prm
         tail = (
@@ -313,6 +322,19 @@ class Engine:
             np.int32(min(prm.limit, np.iinfo(np.int32).max)),
             np.int32(prm.solid_km),
         )
+        if not isinstance(windows, np.ndarray):
+            # already device-resident (library embedding): dispatch the
+            # raw-batch executable -- np.asarray here would drag the batch
+            # D2H through the tunnel only to repack and re-upload it
+            m = windows.shape[1]
+
+            def redispatch(cap):
+                return self._fused_fn(cap, m, "raw")(
+                    windows, n_valid32, *tail
+                )
+
+            return _PendingPass(self, redispatch, cap)
+
         sparse = pack_windows_sparse(windows, int(n_valid))
         if sparse is not None:
             lo_planes, n_idx, ncols, m = sparse
@@ -622,14 +644,16 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
                 log("Done", tab_level)
 
             if prm.skip_end:
-                if prm.compat_quirks:
-                    # reference bug: break only announced/taken when verbose
-                    if mr_v > 0:
-                        log("Skipping end adapter ressearch")
-                        break
-                else:
-                    if mr_v > 0:
-                        log("Skipping end adapter ressearch")
+                # runs_end_pass is the single source of truth for whether
+                # the end pass executes (the prefetcher's next_pass_key
+                # keys off the same flag -- they must never diverge, or a
+                # prefetched pass would be orphaned and its sample_windows
+                # call would silently shift the seeded rng stream).
+                # Reference bug (compat_quirks): the break sits inside
+                # if(mr_v>0), so muted runs process the end anyway.
+                if mr_v > 0:
+                    log("Skipping end adapter ressearch")
+                if not runs_end_pass:
                     break
         tab_level -= 1
     return 0

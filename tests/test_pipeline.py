@@ -335,3 +335,24 @@ def test_n_reads_byte_parity_and_warning(tmp_path, capsys):
         )
         assert open(str(exact) + suffix).read() == want_exact, suffix
         assert open(str(out) + suffix).read() == want_approx, suffix
+
+
+def test_start_pass_device_resident_batch(rng):
+    """A device-resident window batch must dispatch directly (raw fused
+    variant) and return exactly what the host-batch path returns."""
+    import jax.numpy as jnp
+
+    from approx_counter_tpu.pipeline import Engine
+
+    prm = Params(input_file="<mem>", output="/tmp/x", k=K, sl=SL, limit=LIMIT)
+    eng = Engine(prm, use_pallas=False)
+    windows = rng.integers(0, 4, (64, SL + 1)).astype(np.uint8)
+    n_valid = 60
+
+    want = eng.start_pass(windows, n_valid).finish()
+    got = eng.start_pass(jnp.asarray(windows), n_valid).finish()
+    np.testing.assert_array_equal(want[0][0], got[0][0])
+    np.testing.assert_array_equal(want[0][1], got[0][1])
+    np.testing.assert_array_equal(want[1][0], got[1][0])
+    np.testing.assert_array_equal(want[1][1], got[1][1])
+    assert want[2] == got[2]
