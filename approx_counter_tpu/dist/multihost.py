@@ -78,6 +78,12 @@ def global_windows(
     across hosts -- pad with BASE_PAD rows + validity masking as usual);
     the result is a global [W_local * n_hosts, m] jax.Array sharded along
     ``axis``.
+
+    The batch ships raw uint8 (not the single-chip sparse-N 2-bit
+    format): on real multi-host deployments each host feeds its LOCAL
+    chips over PCIe (GB/s -- ~1 ms for a default shard), so the packed
+    formats' tunnel-latency savings don't apply, and
+    make_array_from_process_local_data needs the final row layout.
     """
     sharding = NamedSharding(mesh, P(axis, None))
     return jax.make_array_from_process_local_data(sharding, local_windows)

@@ -79,6 +79,22 @@ for _ in range(3):
     best = dt if best is None else min(best, dt)
 log(f"(b) full pass, device-resident:      {best * 1e3:.1f} ms")
 
+# (b2) pure device time per pass: chain ITERS dispatches, ONE fetch at
+# the end (outputs combined so work can't be elided) -- subtracting from
+# (b) isolates the per-call dispatch+fetch round trip through the tunnel
+best = None
+for _ in range(3):
+    t0 = time.perf_counter()
+    acc = None
+    for lo, n_idx, ncols in packed:
+        out = fn(lo, n_idx, ncols, nv, *tail)
+        c = out["approx_count"]
+        acc = c if acc is None else acc + c
+    np.asarray(acc)
+    dt = (time.perf_counter() - t0) / ITERS
+    best = dt if best is None else min(best, dt)
+log(f"(b2) device-resident, chained 1-fetch: {best * 1e3:.1f} ms")
+
 # (c) exact stage alone, device-resident windows
 wins_dev = [jax.device_put(b) for b in bufs[:ITERS]]
 jax.block_until_ready(wins_dev)
