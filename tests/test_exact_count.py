@@ -164,3 +164,37 @@ def test_topk_rank_all_a_boundary(rng):
             windows, n, k, 1000.0, np.empty(0, np.uint64), cap, 0, cap=cap
         )
         assert list(zip(codes.tolist(), counts.tolist())) == want
+
+
+def test_hierarchical_topk_path_matches_oracle(rng):
+    """Exercise the 2-level _topk_global path (P % 64 == 0 and
+    P // 64 >= cap -- small tests fall back to flat top_k) with a huge
+    count-1 boundary tie class: byte parity vs the oracle."""
+    from approx_counter_tpu.count.exact import _topk_global
+
+    k, n, m, cap = 8, 256, 45, 32
+    p = m - k + 1  # 38; P = 256*38 = 9728 = 64*152 >= 64*cap
+    windows = rng.integers(0, 4, (n, m)).astype(np.uint8)
+    windows[1] = windows[0]  # some counts > 1
+    P = n * p
+    assert P % 64 == 0 and P // 64 >= cap
+    counter, _ = oracle_count_kmers(list(windows), k, 100.0, set())
+    want = oracle_get_most_frequent(counter, cap, k)
+    codes, counts, _ = _run(
+        windows, n, k, 100.0, np.empty(0, np.uint64), cap, 0, cap=cap
+    )
+    assert list(zip(codes.tolist(), counts.tolist())) == want
+
+    # _topk_global returns exactly the flat top_k VALUES (tie membership
+    # may differ; values must not)
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(
+        rng.integers(-50, 50, 64 * 40).astype(np.int32)  # dense ties
+    )
+    v_h, i_h = _topk_global(x, 37)
+    v_f, _ = jax.lax.top_k(x, 37)
+    np.testing.assert_array_equal(np.asarray(v_h), np.asarray(v_f))
+    np.testing.assert_array_equal(np.asarray(x)[np.asarray(i_h)],
+                                  np.asarray(v_h))
