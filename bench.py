@@ -164,7 +164,14 @@ def bench_tpu() -> float:
         t0 = time.perf_counter()
         for i in range(4, 7):
             pack_windows_host(wbufs[i])
-        log(f"host-side pack cost: "
+        log(f"host-side pack cost (dense numpy): "
+            f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms")
+        from approx_counter_tpu.core.codec import pack_windows_sparse
+
+        t0 = time.perf_counter()
+        for i in range(4, 7):
+            pack_windows_sparse(wbufs[i], W - 5)
+        log(f"host-side pack cost (sparse, native when built): "
             f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms")
         # pipelined start+end pair (the CLI's two-pass flow): the second
         # pass's pack + H2D + dispatch overlap the first pass's compute
