@@ -49,10 +49,13 @@ def _as_sortable_i32(x):
 
 def _topk_global(x_i32, cap: int):
     """Exact global top-``cap`` (values desc + indices) via TWO-LEVEL
-    top_k: row-wise top_k on a [64, P/64] reshape, then top_k of the row
-    winners.  Measured 9.0 ms vs 13.75 for the flat pair at P = 3.5M on
-    v5e (native/topk_probe.py) -- lax.top_k's cost grows with the
-    reduced-axis length, so shrinking it 64x beats one long reduction.
+    top_k: row-wise top_k on an [R, P/R] reshape, then top_k of the row
+    winners.  Measured at P = 3.5M on v5e (native/topk_probe.py,
+    same-session sweep): flat pair 13.78 ms vs 6.90/8.94/6.93/6.36 at
+    R = 32/64/128/256 -- lax.top_k's cost grows with the reduced-axis
+    length, so splitting it beats one long reduction; the curve is flat
+    past R = 32, and the largest power-of-two R <= 256 that divides P
+    and keeps every row >= cap wide is used.
 
     Exactness: every global top-``cap`` element is one of its row's top
     ``cap`` (fewer than cap elements can rank above it anywhere, so
@@ -63,8 +66,10 @@ def _topk_global(x_i32, cap: int):
     tied *value* (see its coverage argument).  Falls back to the flat
     call when the reshape doesn't divide."""
     P = x_i32.shape[0]
-    R = 64
-    if P % R or P // R < cap:
+    R = 256
+    while R > 1 and (P % R or P // R < cap):
+        R //= 2
+    if R == 1:
         return jax.lax.top_k(x_i32, cap)
     v, i = jax.lax.top_k(x_i32.reshape(R, P // R), cap)  # [R, cap]
     gi = (jnp.arange(R, dtype=jnp.int32)[:, None] * (P // R) + i).reshape(-1)

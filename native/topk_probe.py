@@ -46,26 +46,30 @@ def flat_topk2(k1, nc):
     return v1 + v2
 
 
-ROWS = 64
-assert P % ROWS == 0
+def make_hier(ROWS):
+    assert P % ROWS == 0
 
+    @jax.jit
+    def hier_topk2(k1, nc):
+        out = []
+        for x in (k1, nc):
+            x2 = x.astype(jnp.int32).reshape(ROWS, P // ROWS)
+            v, i = jax.lax.top_k(x2, CAP)              # [ROWS, CAP]
+            gi = (jnp.arange(ROWS, dtype=jnp.int32)[:, None]
+                  * (P // ROWS) + i).reshape(-1)       # global indices
+            v2, j = jax.lax.top_k(v.reshape(-1), CAP)  # winners of winners
+            out.append(v2 + gi[j])
+        return out[0] + out[1]
 
-@jax.jit
-def hier_topk2(k1, nc):
-    out = []
-    for x in (k1, nc):
-        x2 = x.astype(jnp.int32).reshape(ROWS, P // ROWS)
-        v, i = jax.lax.top_k(x2, CAP)              # [ROWS, CAP]
-        gi = (jnp.arange(ROWS, dtype=jnp.int32)[:, None]
-              * (P // ROWS) + i).reshape(-1)       # global indices
-        v2, j = jax.lax.top_k(v.reshape(-1), CAP)  # winners of winners
-        out.append(v2 + gi[j])
-    return out[0] + out[1]
+    return hier_topk2
 
 
 for name, fn in (("(i)  2-key ranking sort", rank_sort2),
                  ("(ii) flat top_k x2", flat_topk2),
-                 ("(iii) hier top_k x2 (64 rows)", hier_topk2)):
+                 ("(iii) hier top_k x2 (32 rows)", make_hier(32)),
+                 ("(iii) hier top_k x2 (64 rows)", make_hier(64)),
+                 ("(iii) hier top_k x2 (128 rows)", make_hier(128)),
+                 ("(iii) hier top_k x2 (256 rows)", make_hier(256))):
     dt = time_chained(
         lambda i, f=fn: f(keys[i % ITERS], codes[i % ITERS]), ITERS
     )
