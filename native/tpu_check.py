@@ -93,6 +93,40 @@ for k in (2, 8, 16, 31, 32):
             record(f"k={k:2d} maxerr={maxerr} {name:10s}: "
                    + ("OK" if ok else f"FAIL {want[:5]} vs {got[:5]}"))
 
+# Exact stage on hardware vs the numpy oracle: the CompareCount ranking
+# rides TPU TopK lowerings (hierarchical _topk_global) that CPU tests
+# never exercise.  P = 256*38 = 9728 with cap=32 activates the R=256
+# two-level path.
+from approx_counter_tpu.core.codec import join_code  # noqa: E402
+from approx_counter_tpu.core.complexity import (  # noqa: E402
+    lc_sum_threshold,
+)
+from approx_counter_tpu.count.exact import exact_count_select  # noqa: E402
+from approx_counter_tpu.oracle import (  # noqa: E402
+    oracle_count_kmers,
+    oracle_get_most_frequent,
+)
+
+ke, ne, me, cape = 8, 256, 45, 32
+wins_e = rng.integers(0, 4, (ne, me)).astype(np.uint8)
+wins_e[1] = wins_e[0]  # counts > 1 above the count-1 tie class
+out_e = exact_count_select(
+    wins_e, np.int32(ne), ke, np.int32(lc_sum_threshold(100.0, ke)),
+    np.zeros(0, np.uint32), np.zeros(0, np.uint32), np.int32(cape),
+    np.int32(0), cap=cape, n_forbidden=0, use_solid=False,
+)
+got_e = list(zip(
+    join_code(np.asarray(out_e["sel_hi"]),
+              np.asarray(out_e["sel_lo"]))[:cape].tolist(),
+    np.asarray(out_e["sel_count"])[:cape].tolist(),
+))
+counter_e, _ = oracle_count_kmers(list(wins_e), ke, 100.0, set())
+want_e = oracle_get_most_frequent(counter_e, cape, ke)
+ok = got_e == want_e
+fails += 0 if ok else 1
+record("exact stage (hier top-k rank) vs oracle: "
+       + ("OK" if ok else "FAIL"))
+
 # Window-transfer roundtrips on hardware: the sparse-N scatter
 # (unpack_windows_sparse_jnp) and the dense two-plane unpack lower through
 # Mosaic/XLA-TPU paths the CPU tests never touch.
