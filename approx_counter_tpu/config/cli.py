@@ -13,6 +13,7 @@ and absent flags change nothing.
 from __future__ import annotations
 
 import argparse
+import sys
 
 from approx_counter_tpu.config.conf import parse_config
 from approx_counter_tpu.params import Params
@@ -20,8 +21,21 @@ from approx_counter_tpu.params import Params
 _SENTINEL = object()
 
 
+class _RefExitParser(argparse.ArgumentParser):
+    """argparse exits 2 on a parse error; the reference's ``get_args``
+    returns PARSE_ERROR and ``main`` turns that into exit code **1**
+    (help/version stay 0) -- /root/reference/approx_counter.cpp:693-698.
+    Porechop_ABI drives adaptFinder as a subprocess, so the code is
+    consumer-visible.  Only the code changes; the usage/error text keeps
+    argparse's format (COMPAT #18)."""
+
+    def error(self, message):
+        self.print_usage(sys.stderr)
+        self.exit(1, f"{self.prog}: error: {message}\n")
+
+
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(
+    p = _RefExitParser(
         prog="adaptFinder",
         description="TPU-native approximate k-mer counter "
         "(capabilities of qbonenfant/approx_counter)",

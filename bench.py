@@ -139,11 +139,14 @@ def bench_tpu() -> float:
             eng.start_pass(wbufs[i], W - 5).finish()
         log(f"full pass (fused exact+BPM+rank, sparse-N 2-bit H2D): "
             f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms")
-        # dense two-plane alternate (the >4096-N fallback path)
-        jax.block_until_ready(eng._fused_step(wbufs[13], np.int32(W), 512))
+        # dense two-plane alternate (the >4096-N fallback path); same
+        # n_valid as the sparse arm so the A/B isolates the format
+        jax.block_until_ready(
+            eng._fused_step(wbufs[13], np.int32(W - 5), 512)
+        )
         t0 = time.perf_counter()
         for i in range(14, 16):
-            jax.device_get(eng._fused_step(wbufs[i], np.int32(W), 512))
+            jax.device_get(eng._fused_step(wbufs[i], np.int32(W - 5), 512))
         log(f"full pass (dense two-plane fallback): "
             f"{(time.perf_counter() - t0) / 2 * 1e3:.1f} ms")
         # A/B the window transfer itself: raw uint8 vs packed planes

@@ -430,12 +430,16 @@ int64_t fastx_pack_windows_sparse(const uint8_t *w, int64_t n, int64_t m,
             dst[g / 4] = b;
         }
         if (r >= n_valid) continue;
-        // N scan over the valid columns: SWAR word test, rare slow path
+        // N scan over the valid columns: SWAR word test, rare slow path.
+        // The mask must cover ALL bits above the 2-bit base field (0xFC),
+        // not just bit 2: a junk symbol >= 8 has bit 2 clear and would
+        // otherwise be silently packed as v&3 instead of returning -2
+        // like the numpy fallback does.
         int64_t cc = 0;
         for (; cc + 8 <= ncols; cc += 8) {
             uint64_t x;
             memcpy(&x, src + cc, 8);
-            if (x & 0x0404040404040404ULL) {
+            if (x & 0xFCFCFCFCFCFCFCFCULL) {
                 for (int t = 0; t < 8; t++) {
                     uint8_t v = src[cc + t];
                     if (v >= 4) {

@@ -65,14 +65,23 @@ def test_extensions_and_errors(capsys):
                           "--compat-quirks", "--stream"])
     assert prm.seed == 7 and prm.max_error == 1
     assert prm.compat_quirks and prm.stream
+    # parse errors exit 1 like the reference (approx_counter.cpp:693-698),
+    # not argparse's default 2
     with pytest.raises(SystemExit) as e:
         resolve_params(["i", "--max-error", "9"])
-    assert e.value.code == 2
+    assert e.value.code == 1
     with pytest.raises(SystemExit) as e:
         resolve_params(["i", "-k", "abc"])  # argparse type error
-    assert e.value.code == 2
-    with pytest.raises(SystemExit):
+    assert e.value.code == 1
+    with pytest.raises(SystemExit) as e:
         resolve_params([])  # missing positional
+    assert e.value.code == 1
+    with pytest.raises(SystemExit) as e:
+        resolve_params(["i", "--bogus-flag"])  # unknown flag
+    assert e.value.code == 1
+    with pytest.raises(SystemExit) as e:
+        resolve_params(["--help"])  # help stays 0 (reference prints + 0)
+    assert e.value.code == 0
     capsys.readouterr()
 
 

@@ -171,6 +171,27 @@ class TestCodec:
         w[3, 10] = BASE_PAD
         assert pack_windows_sparse(w, 6) is None
 
+    @pytest.mark.parametrize("junk", [8, 9, 255])
+    def test_pack_windows_sparse_junk_symbol_falls_back(self, rng, junk,
+                                                        monkeypatch):
+        """An out-of-contract symbol >= 8 (bit 2 clear!) inside the valid
+        region must fall back to the dense format on BOTH the native and
+        numpy paths -- the native SWAR N-scan mask must cover all high
+        bits, not just bit 2 (advisor finding, round 3)."""
+        import approx_counter_tpu.io.native as native_mod
+        from approx_counter_tpu.core.codec import pack_windows_sparse
+
+        w = rng.integers(0, 4, (6, 32)).astype(np.uint8)
+        w[2, 17] = junk
+        assert pack_windows_sparse(w, 6) is None  # native when built
+
+        def _no_native(*a, **k):
+            raise ImportError
+
+        monkeypatch.setattr(native_mod, "pack_windows_sparse_native",
+                            _no_native)
+        assert pack_windows_sparse(w, 6) is None  # numpy fallback
+
 
 class TestIsDna:
     def test_pure_and_tainted(self):
