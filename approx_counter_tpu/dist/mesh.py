@@ -98,6 +98,41 @@ def approx_counts_sharded(
     return fn(peq, windows_t, window_valid)
 
 
+def make_approx_step(
+    mesh: Mesh,
+    k: int,
+    axis: str = "data",
+    ct: int | None = None,
+    wt: int | None = None,
+    use_pallas: bool | None = None,
+    maxerr: int = 2,
+):
+    """Approx-only mesh step (the multihost ``--from-exact`` resume path):
+    explicit candidate selection in, BPM counts + CompareCount re-rank
+    out; no exact-count stage."""
+    from approx_counter_tpu.count.approx import rank_with_zero_counts
+    from approx_counter_tpu.kernels.bpm import build_peq
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+
+    @jax.jit
+    def step(windows, window_valid, sel_hi, sel_lo, sel_valid):
+        peq = build_peq(sel_hi, sel_lo, k)
+        windows_t = jnp.transpose(windows, (1, 0))
+        counts = approx_counts_sharded(
+            peq, windows_t, window_valid, k, mesh=mesh, axis=axis,
+            ct=ct, wt=wt, use_pallas=use_pallas, maxerr=maxerr,
+        )
+        a_hi, a_lo, a_cnt, a_val = rank_with_zero_counts(
+            sel_hi, sel_lo, counts, sel_valid, k
+        )
+        return dict(approx_hi=a_hi, approx_lo=a_lo, approx_count=a_cnt,
+                    approx_valid=a_val)
+
+    return step
+
+
 def make_full_step(
     mesh: Mesh,
     k: int,

@@ -166,29 +166,11 @@ def _iter_native(f, chunk_size):
         carry = data[consumed:]
 
 
-def stream_sample_windows(
-    path: str | list[str],
-    sn: int,
-    sl: int,
-    rng: np.random.Generator | None = None,
-    pad_to: int = 8,
-    chunk_size: int = 1 << 22,
-    pad_rows_to: int | None = None,
-):
-    """One streaming pass -> (start WindowBatch, end WindowBatch, n_reads).
-
-    ``path`` may be a list of files (concatenated stream -- the multi-host
-    per-shard case).  Bounded memory: O(sn * sl) plus one IO chunk.
-    ``pad_rows_to`` forces an exact row count (multi-host: equal local
-    shapes across hosts).
-    """
-    if rng is None:
-        rng = np.random.default_rng()
-    # Independent reservoirs, independent streams like the reference's two
-    # separate shuffles.
-    r_start = _Reservoir(sn, sl, end=False, rng=rng)
-    r_end = _Reservoir(sn, sl, end=True, rng=rng)
-    n_reads = 0
+def iter_read_seqs(path: str | list[str], chunk_size: int = 1 << 22):
+    """Stream per-record uint8 *ordinal* arrays from FASTA/FASTQ file(s)
+    (gzip transparent, native fast path when built).  The shared record
+    source for every streaming sampler (single-host reservoirs here,
+    distributed bottom-k in dist/sampling.py)."""
     paths = [path] if isinstance(path, str) else list(path)
     for one in paths:
         with open(one, "rb") as raw_f:
@@ -224,16 +206,43 @@ def stream_sample_windows(
                     "FASTQ)"
                 )
             for raw in it:
-                n_reads += 1
-                if len(raw) < 2 * sl:
-                    continue  # eligibility, approx_counter.cpp:461
                 if isinstance(raw, np.ndarray):
-                    seq = raw  # native path: already ordinals
+                    yield raw  # native path: already ordinals
                 else:
                     # bytes.translate, not numpy gather -- see io/fastx.py
-                    seq = np.frombuffer(raw.translate(_TRANS), dtype=np.uint8)
-                r_start.offer(seq)
-                r_end.offer(seq)
+                    yield np.frombuffer(raw.translate(_TRANS),
+                                        dtype=np.uint8)
+
+
+def stream_sample_windows(
+    path: str | list[str],
+    sn: int,
+    sl: int,
+    rng: np.random.Generator | None = None,
+    pad_to: int = 8,
+    chunk_size: int = 1 << 22,
+    pad_rows_to: int | None = None,
+):
+    """One streaming pass -> (start WindowBatch, end WindowBatch, n_reads).
+
+    ``path`` may be a list of files (concatenated stream -- the multi-host
+    per-shard case).  Bounded memory: O(sn * sl) plus one IO chunk.
+    ``pad_rows_to`` forces an exact row count (multi-host: equal local
+    shapes across hosts).
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    # Independent reservoirs, independent streams like the reference's two
+    # separate shuffles.
+    r_start = _Reservoir(sn, sl, end=False, rng=rng)
+    r_end = _Reservoir(sn, sl, end=True, rng=rng)
+    n_reads = 0
+    for seq in iter_read_seqs(path, chunk_size):
+        n_reads += 1
+        if len(seq) < 2 * sl:
+            continue  # eligibility, approx_counter.cpp:461
+        r_start.offer(seq)
+        r_end.offer(seq)
     b_start = r_start.batch(pad_to)
     b_end = r_end.batch(pad_to)
     if pad_rows_to is not None:

@@ -68,6 +68,54 @@ def _fmt_num(x: float) -> str:
     return f"{x:.6g}"
 
 
+def echo_params(prm: Params, v: int) -> None:
+    """The parameter echo block (approx_counter.cpp:793-808), shared with
+    the multihost driver so both produce identical stdout."""
+    if v <= 0:
+        return
+    print(f"Kmer size:             {prm.k}")
+    print(f"Sampled sequences:     {prm.sn}")
+    print(f"Sampling length        {prm.sl}")
+    print(f"LC filter threshold:   {_fmt_num(prm.param_lc)}")
+    print(f"Adjusted LC threshold: {_fmt_num(prm.adjusted_lc)}")
+    print(f"Nb thread:             {prm.nb_thread}")
+    if prm.solid_km != 0:
+        print(f"Solid kmers:           {prm.solid_km}")
+    else:
+        print(f"Number of kept kmer:   {prm.limit}")
+    print(f"Number of runs:        {prm.nb_of_runs}")
+    print(f"Verbosity level:       {v}")
+
+
+def had_n_warning(had_n: int) -> None:
+    """The reference's end-of-count N warning (approx_counter.cpp:513-517),
+    emitted to stderr when any k-mer contained an N."""
+    if had_n > 0:
+        sys.stderr.write(
+            "/!\\ WARNING: This dataset contained sequences with 'N' "
+            "symbols. /!\\ WARNING: Current implementation ignores "
+            "k-mers containing 'N'."
+            f"/!\\ WARNING: A total of {had_n} k-mers were "
+            "ignored.\n"
+        )
+
+
+def candidates_from_codes(codes: np.ndarray):
+    """Build padded selection arrays from an explicit candidate list
+    (resume-from-exact mode).  Codes are re-ranked by CompareCount with
+    their file counts ignored (the approx stage re-counts).  Shared by
+    the single-host Engine and the multihost driver."""
+    cap = max(512, _round_up(max(len(codes), 1), CT))
+    hi, lo = split_code(codes)
+    sel_hi = np.zeros(cap, np.uint32)
+    sel_lo = np.zeros(cap, np.uint32)
+    sel_hi[: len(codes)] = hi
+    sel_lo[: len(codes)] = lo
+    sel_valid = np.zeros(cap, bool)
+    sel_valid[: len(codes)] = True
+    return sel_hi, sel_lo, sel_valid, cap
+
+
 class _PendingPass:
     """An in-flight fused top-N pass: dispatched, not yet fetched.
 
@@ -131,18 +179,7 @@ class Engine:
         self._fused_cache: dict[int, object] = {}
 
     def candidates_from_codes(self, codes: np.ndarray):
-        """Build padded selection arrays from an explicit candidate list
-        (resume-from-exact mode).  Codes are re-ranked by CompareCount with
-        their file counts ignored (the approx stage re-counts)."""
-        cap = max(512, _round_up(max(len(codes), 1), CT))
-        hi, lo = split_code(codes)
-        sel_hi = np.zeros(cap, np.uint32)
-        sel_lo = np.zeros(cap, np.uint32)
-        sel_hi[: len(codes)] = hi
-        sel_lo[: len(codes)] = lo
-        sel_valid = np.zeros(cap, bool)
-        sel_valid[: len(codes)] = True
-        return sel_hi, sel_lo, sel_valid, cap
+        return candidates_from_codes(codes)
 
     def device_windows(self, windows, n_valid: int | None = None):
         """Ship a host window batch to the device 2-bit-packed (sparse-N
@@ -421,19 +458,7 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
     engine = Engine(prm)
 
     # Parameter echo (approx_counter.cpp:793-808).
-    if v > 0:
-        print(f"Kmer size:             {prm.k}")
-        print(f"Sampled sequences:     {prm.sn}")
-        print(f"Sampling length        {prm.sl}")
-        print(f"LC filter threshold:   {_fmt_num(prm.param_lc)}")
-        print(f"Adjusted LC threshold: {_fmt_num(prm.adjusted_lc)}")
-        print(f"Nb thread:             {prm.nb_thread}")
-        if prm.solid_km != 0:
-            print(f"Solid kmers:           {prm.solid_km}")
-        else:
-            print(f"Number of kept kmer:   {prm.limit}")
-        print(f"Number of runs:        {prm.nb_of_runs}")
-        print(f"Verbosity level:       {v}")
+    echo_params(prm, v)
 
     tab_level = 0
     if v > 0 and prm.nb_of_runs > 1:
@@ -604,14 +629,7 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
                     f"{pairs / max(t_count, 1e-9):.3g} pairs/s",
                     tab_level,
                 )
-            if stats["had_n"] > 0:
-                sys.stderr.write(
-                    "/!\\ WARNING: This dataset contained sequences with 'N' "
-                    "symbols. /!\\ WARNING: Current implementation ignores "
-                    "k-mers containing 'N'."
-                    f"/!\\ WARNING: A total of {stats['had_n']} k-mers were "
-                    "ignored.\n"
-                )
+            had_n_warning(stats["had_n"])
             if mr_v > 0:
                 log(f"Number of kmer found: {stats['n_unique']}", tab_level)
                 log(

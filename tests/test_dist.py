@@ -116,10 +116,7 @@ def test_exact_count_sharded_matches_single(rng):
 
 class TestMultihost:
     def test_shard_paths_partition(self):
-        from approx_counter_tpu.dist.multihost import (
-            local_sample_quota,
-            shard_paths,
-        )
+        from approx_counter_tpu.dist.multihost import shard_paths
 
         paths = [f"f{i}" for i in range(7)]
         shards = [shard_paths(paths, i, 3) for i in range(3)]
@@ -127,8 +124,6 @@ class TestMultihost:
         flat = [p for s in shards for p in s]
         assert sorted(flat) == sorted(paths)
         assert len(set(flat)) == len(paths)
-        # quotas sum to sn
-        assert sum(local_sample_quota(40000, 3, i) for i in range(3)) == 40000
 
     def test_global_windows_single_process(self, rng):
         import jax
@@ -175,3 +170,85 @@ class TestMultihostPipeline:
             assert (tmp_path / f"mhe.txt_0.{end}").read_bytes() == (
                 tmp_path / f"se.txt_0.{end}"
             ).read_bytes(), end
+
+    def test_single_process_degrade_stdout_parity(self, tmp_path, rng,
+                                                  capsys):
+        """CLI parity (round-4 verdict #3): at process_count==1 the
+        multihost driver's *stdout* -- parameter echo, every mr_v log
+        line, counts -- must equal the single-host streaming pipeline's,
+        modulo the [ms] wall-clock prefixes."""
+        import re
+
+        from approx_counter_tpu.core.codec import codes_to_seq
+        from approx_counter_tpu.dist.multihost import run_pipeline_multihost
+        from approx_counter_tpu.params import Params
+        from approx_counter_tpu.pipeline import run_pipeline
+
+        sl, k = 12, 6
+        seqs = [codes_to_seq(rng.integers(0, 4, 40)) for _ in range(20)]
+        fa = tmp_path / "r.fasta"
+        with open(fa, "w") as f:
+            for i, s in enumerate(seqs):
+                f.write(f">r{i}\n{s}\n")
+
+        def strip_ts(text):
+            return re.sub(r"\[[0-9.]+ ms\]", "[ms]", text)
+
+        prm_mh = Params(input_file=str(fa), output=str(tmp_path / "mh.txt"),
+                        exact_out=str(tmp_path / "mhe.txt"),
+                        k=k, sl=sl, sn=100, limit=10, v=1, seed=1,
+                        multihost=True)
+        assert run_pipeline_multihost(prm_mh) == 0
+        out_mh = strip_ts(capsys.readouterr().out)
+        prm_s = Params(input_file=str(fa), output=str(tmp_path / "s.txt"),
+                       exact_out=str(tmp_path / "se.txt"),
+                       k=k, sl=sl, sn=100, limit=10, v=1, seed=1,
+                       stream=True)
+        assert run_pipeline(prm_s) == 0
+        out_s = strip_ts(capsys.readouterr().out)
+        assert out_mh == out_s
+
+    def test_single_process_degrade_quirks_and_resume(self, tmp_path, rng):
+        """--compat-quirks and --from-exact work through the multihost
+        driver (round-4 verdict #3: feature parity, not just echo)."""
+        from approx_counter_tpu.core.codec import codes_to_seq
+        from approx_counter_tpu.dist.multihost import run_pipeline_multihost
+        from approx_counter_tpu.params import Params
+
+        sl, k = 12, 6
+        fa = tmp_path / "r.fasta"
+        with open(fa, "w") as f:
+            for i in range(20):
+                f.write(f">r{i}\n{codes_to_seq(rng.integers(0, 4, 40))}\n")
+
+        # skip_end honored: only .start files appear
+        prm = Params(input_file=str(fa), output=str(tmp_path / "a.txt"),
+                     k=k, sl=sl, sn=100, limit=10, v=0, seed=1,
+                     skip_end=True, multihost=True)
+        assert run_pipeline_multihost(prm) == 0
+        assert (tmp_path / "a.txt_0.start").exists()
+        assert not (tmp_path / "a.txt_0.end").exists()
+
+        # compat-quirks + muted verbosity: the reference bug processes the
+        # end anyway (approx_counter.cpp:943-948)
+        prm = Params(input_file=str(fa), output=str(tmp_path / "b.txt"),
+                     k=k, sl=sl, sn=100, limit=10, v=0, seed=1,
+                     skip_end=True, compat_quirks=True, multihost=True)
+        assert run_pipeline_multihost(prm) == 0
+        assert (tmp_path / "b.txt_0.end").exists()
+
+        # --from-exact resume: candidates from a prior exact export
+        prm = Params(input_file=str(fa), output=str(tmp_path / "c.txt"),
+                     exact_out=str(tmp_path / "ce.txt"),
+                     k=k, sl=sl, sn=100, limit=10, v=0, seed=1,
+                     multihost=True)
+        assert run_pipeline_multihost(prm) == 0
+        prm2 = Params(input_file=str(fa), output=str(tmp_path / "d.txt"),
+                      k=k, sl=sl, sn=100, limit=10, v=0, seed=1,
+                      multihost=True,
+                      from_exact=str(tmp_path / "ce.txt_0.start"))
+        assert run_pipeline_multihost(prm2) == 0
+        # same candidate set + identity sampling => same approx ranking
+        assert (tmp_path / "d.txt_0.start").read_bytes() == (
+            tmp_path / "c.txt_0.start"
+        ).read_bytes()

@@ -1,0 +1,176 @@
+"""Distributed bottom-k sampling (dist/sampling.py): uniformity over
+UNBALANCED shards -- the property round-3's fixed per-host quotas violated
+(a read in a small shard had a higher inclusion probability, and a shard
+with fewer eligible reads than its quota silently undersampled the global
+budget).  Reference semantics: a uniform sn-subset of all eligible reads
+(/root/reference/approx_counter.cpp:415-476)."""
+
+import numpy as np
+import pytest
+
+from approx_counter_tpu.dist.sampling import (
+    _PRIO_PAD,
+    _BottomK,
+    global_bottomk_mask,
+    select_from_gathered,
+)
+
+
+def _simulate_hosts(shard_sizes, sn, rng):
+    """Simulate one multihost draw: each host tags its reads with i.i.d.
+    u64 priorities, keeps its local bottom-sn, and the global cut is
+    computed from the gathered matrix.  Returns the set of globally
+    selected (host, read_idx) pairs."""
+    pc = len(shard_sizes)
+    gp = np.full((pc, sn), _PRIO_PAD, np.uint64)
+    per_host = []
+    for h, n in enumerate(shard_sizes):
+        prios = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+        order = np.argsort(prios, kind="stable")
+        kept = order[:sn]
+        gp[h, : len(kept)] = prios[kept]
+        per_host.append(kept)
+    k = select_from_gathered(gp, sn)
+    selected = set()
+    for h in range(pc):
+        for i in per_host[h][: k[h]]:
+            selected.add((h, int(i)))
+    return selected, k
+
+
+class TestSelectFromGathered:
+    def test_total_below_budget_keeps_all(self):
+        gp = np.full((3, 10), _PRIO_PAD, np.uint64)
+        gp[0, :2] = [5, 9]
+        gp[1, :3] = [1, 2, 3]
+        k = select_from_gathered(gp, 10)
+        np.testing.assert_array_equal(k, [2, 3, 0])
+
+    def test_exact_budget_and_cut(self, rng):
+        pc, sn = 4, 50
+        sizes = [7, 200, 13, 80]
+        selected, k = _simulate_hosts(sizes, sn, rng)
+        assert int(k.sum()) == sn == len(selected)
+        # every host's kept items are its smallest-priority items: implied
+        # by construction; check counts bounded by shard sizes
+        for h, n in enumerate(sizes):
+            assert 0 <= k[h] <= min(n, sn)
+
+    def test_tie_break_deterministic_low_rank_first(self):
+        """Equal priorities at the cutoff are allocated in (host, local
+        order) order and the total is exactly sn."""
+        gp = np.full((3, 4), _PRIO_PAD, np.uint64)
+        gp[0] = [1, 7, 7, 7]
+        gp[1] = [2, 7, 7, _PRIO_PAD]
+        gp[2] = [7, 7, _PRIO_PAD, _PRIO_PAD]
+        # sn=5: below cutoff(7) = {1, 2}; 3 slots among 7 ties
+        k = select_from_gathered(gp, 5)
+        np.testing.assert_array_equal(k, [4, 1, 0])
+        assert int(k.sum()) == 5
+
+    def test_unbalanced_shards_uniform_inclusion(self, rng):
+        """THE regression test for the round-3 quota bug: shards of 3 and
+        17 eligible reads, sn=5.  Uniform sampling gives every read the
+        same inclusion probability 5/20 = 0.25; the old fixed-quota split
+        (2 or 3 per host) gave small-shard reads ~0.83 and large-shard
+        reads ~0.15.  3000 trials: the per-read frequencies must sit in a
+        band that cleanly excludes the quota behavior."""
+        sizes, sn, trials = [3, 17], 5, 3000
+        hits = {(h, i): 0 for h, n in enumerate(sizes) for i in range(n)}
+        for _ in range(trials):
+            selected, k = _simulate_hosts(sizes, sn, rng)
+            assert int(k.sum()) == sn
+            for key in selected:
+                hits[key] += 1
+        freqs = np.array(list(hits.values())) / trials
+        # binomial(3000, .25) std ~ 0.0079; 5 sigma ~ 0.04
+        assert freqs.min() > 0.25 - 0.05, freqs.min()
+        assert freqs.max() < 0.25 + 0.05, freqs.max()
+        # and the two shards' mean inclusion rates agree
+        small = np.mean([hits[(0, i)] for i in range(3)]) / trials
+        large = np.mean([hits[(1, i)] for i in range(17)]) / trials
+        assert abs(small - large) < 0.03, (small, large)
+
+
+class TestBottomK:
+    def test_streaming_matches_batch_bottomk(self, rng):
+        """The heap-based streaming bottom-k must keep exactly the sn
+        smallest-priority items (same rng stream => same priorities)."""
+        sn, sl, n = 10, 4, 300
+        seqs = [rng.integers(0, 4, 20).astype(np.uint8) for _ in range(n)]
+        seed = int(rng.integers(0, 2**32))
+        bk = _BottomK(sn, sl, end=False, rng=np.random.default_rng(seed))
+        for s in seqs:
+            bk.offer(s)
+        prio, idx, wins = bk.items()
+        ref_prios = np.random.default_rng(seed).integers(
+            0, 1 << 64, n, dtype=np.uint64
+        )
+        expect = np.sort(ref_prios)[:sn]
+        np.testing.assert_array_equal(prio, expect)
+        # windows correspond to the arrival indices of those priorities
+        order = np.argsort(ref_prios, kind="stable")[:sn]
+        np.testing.assert_array_equal(np.sort(idx), np.sort(order))
+        for p, i, w in zip(prio, idx, wins):
+            np.testing.assert_array_equal(w, seqs[i][:sl])
+
+    def test_end_windows_are_sl_plus_one(self, rng):
+        """End windows carry the reference off-by-one (:463)."""
+        sn, sl = 4, 6
+        bk = _BottomK(sn, sl, end=True, rng=rng)
+        seq = rng.integers(0, 4, 30).astype(np.uint8)
+        bk.offer(seq)
+        _, _, wins = bk.items()
+        assert len(wins[0]) == sl + 1
+        np.testing.assert_array_equal(wins[0], seq[len(seq) - 1 - sl:])
+
+    def test_single_process_mask_keeps_all(self, rng):
+        prio = np.sort(rng.integers(0, 1 << 64, 7, dtype=np.uint64))
+        keep, k = global_bottomk_mask(prio, 10, 1, 0)
+        assert keep.all() and k[0] == 7
+
+
+class TestDistributedSampleWindows:
+    def test_single_process_end_to_end(self, tmp_path, rng):
+        from approx_counter_tpu.core.codec import codes_to_seq
+        from approx_counter_tpu.dist.sampling import (
+            distributed_sample_windows,
+        )
+
+        sl = 8
+        fa = tmp_path / "r.fasta"
+        with open(fa, "w") as f:
+            for i in range(30):
+                ln = 30 if i % 3 else 10  # every third read ineligible
+                f.write(f">r{i}\n{codes_to_seq(rng.integers(0, 4, ln))}\n")
+        sn = 12
+        b_start, b_end, n_reads, (g_s, g_e) = distributed_sample_windows(
+            [str(fa)], sn, sl, rng=rng, process_count=1, process_index=0,
+            row_mult=8,
+        )
+        assert n_reads == 30
+        assert g_s == g_e == sn  # 20 eligible > sn
+        assert b_start.n_valid == b_end.n_valid == sn
+        assert b_start.windows.shape[1] == sl + 1
+        # start rows: one trailing pad col; end rows: full width
+        from approx_counter_tpu.core.codec import BASE_PAD
+
+        assert (b_start.windows[:sn, sl] == BASE_PAD).all()
+        assert (b_end.windows[:sn] != BASE_PAD).all()
+
+    def test_budget_exceeds_eligible_takes_all(self, tmp_path, rng):
+        from approx_counter_tpu.core.codec import codes_to_seq
+        from approx_counter_tpu.dist.sampling import (
+            distributed_sample_windows,
+        )
+
+        sl = 8
+        fa = tmp_path / "r.fasta"
+        with open(fa, "w") as f:
+            for i in range(5):
+                f.write(f">r{i}\n{codes_to_seq(rng.integers(0, 4, 40))}\n")
+        b_start, _, n_reads, (g_s, g_e) = distributed_sample_windows(
+            [str(fa)], 100, sl, rng=rng, process_count=1, process_index=0,
+            row_mult=8,
+        )
+        assert n_reads == 5 and g_s == 5 and b_start.n_valid == 5
