@@ -272,6 +272,40 @@ def unpack_windows_sparse_jnp(lo_planes, n_idx, n_valid, ncols, m: int):
     return sym.astype(jnp.uint8)
 
 
+def unpack_windows_sparse_t_jnp(lo_planes, n_idx, n_valid, ncols, m: int):
+    """Transposed-layout inverse of :func:`pack_windows_sparse` -> uint8
+    [m, n] (the layout the BPM kernel and the transposed exact stage
+    consume), so the fused pass never materializes the [n, m] batch or
+    pays a full 4 MB device transpose -- only the packed planes (1 MB)
+    transpose.  Flat N indices r*m + c translate to c*n + r."""
+    import jax.numpy as jnp
+
+    n = lo_planes.shape[0]
+    l32 = jnp.transpose(lo_planes, (1, 0)).astype(jnp.uint32)  # [mp/4, n]
+    b = jnp.stack(
+        [(l32 >> jnp.uint32(2 * j)) & jnp.uint32(3) for j in range(4)],
+        axis=1,
+    ).reshape(-1, n)[:m]  # [m, n]
+    row = jnp.arange(m, dtype=jnp.int32)[:, None]   # text position axis
+    col = jnp.arange(n, dtype=jnp.int32)[None, :]   # window axis
+    sym = jnp.where(
+        (row < ncols) & (col < n_valid), b, jnp.uint32(BASE_PAD)
+    )
+    # transposed flat index; the INT32_MAX pad stays out of bounds: for it
+    # (f % m) * n + f // m < m*n + 2^31/m -- still >= n*m? No: compute and
+    # re-sentinel explicitly so mode='drop' keeps ignoring pad entries.
+    tgt = (n_idx % jnp.int32(m)) * jnp.int32(n) + n_idx // jnp.int32(m)
+    tgt = jnp.where(n_idx == jnp.int32(np.iinfo(np.int32).max),
+                    jnp.int32(np.iinfo(np.int32).max), tgt)
+    sym = (
+        sym.reshape(-1)
+        .at[tgt]
+        .set(jnp.uint32(BASE_N), mode="drop")
+        .reshape(m, n)
+    )
+    return sym.astype(jnp.uint8)
+
+
 def unpack_windows_jnp(planes, m: int):
     """Device-side inverse of :func:`pack_windows_host` -> uint8 [n, m].
     Plain jnp (callers jit it, alone or fused into a larger step)."""

@@ -142,10 +142,11 @@ def exact_count_select(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "cap", "n_forbidden", "use_solid")
+    jax.jit,
+    static_argnames=("k", "cap", "n_forbidden", "use_solid", "transposed"),
 )
 def exact_count_select_rows(
-    windows,          # uint8 [n, m]
+    windows,          # uint8 [n, m] ([m, n] when ``transposed``)
     row_mask,         # bool [n]: which rows are real windows (any layout --
     #                   multi-host shards interleave valid rows)
     k: int,
@@ -159,24 +160,39 @@ def exact_count_select_rows(
     cap: int,         # static output size (>= number of entries we keep)
     n_forbidden: int, # static F (for tracing; == len(forbidden_hi))
     use_solid: bool,
+    transposed: bool = False,
 ):
-    n, m = windows.shape
+    # ``transposed``: consume the [m, n] (text-major) layout the BPM
+    # kernel already wants, so a fused pass materializes ONE batch layout
+    # instead of [n, m] plus a 4 MB device transpose.  The packing sweep
+    # slides along axis 0 and position order inside the flat P axis
+    # changes (position-major instead of window-major) -- irrelevant:
+    # everything downstream of the sweep is a sort/sum over P.
+    if transposed:
+        m, n = windows.shape
+    else:
+        n, m = windows.shape
     p = m - k + 1  # sliding positions per window (ref :496)
+    shp = (p, n) if transposed else (n, p)
 
     # --- 1. vectorized packing sweep --------------------------------------
-    hi = jnp.zeros((n, p), jnp.uint32)
-    lo = jnp.zeros((n, p), jnp.uint32)
-    has_n = jnp.zeros((n, p), jnp.bool_)    # contains an N base (symbol 4)
-    has_pad = jnp.zeros((n, p), jnp.bool_)  # touches padding (symbol >= 5)
+    hi = jnp.zeros(shp, jnp.uint32)
+    lo = jnp.zeros(shp, jnp.uint32)
+    has_n = jnp.zeros(shp, jnp.bool_)    # contains an N base (symbol 4)
+    has_pad = jnp.zeros(shp, jnp.bool_)  # touches padding (symbol >= 5)
     for j in range(k):
-        sym = jax.lax.slice_in_dim(windows, j, j + p, axis=1)
+        sym = jax.lax.slice_in_dim(windows, j, j + p,
+                                   axis=0 if transposed else 1)
         has_n = has_n | (sym == 4)
         has_pad = has_pad | (sym >= 5)
         sym32 = sym.astype(jnp.uint32)
         if k > 16:  # hi word is identically zero otherwise
             hi = (hi << np.uint32(2)) | (lo >> np.uint32(30))
         lo = (lo << np.uint32(2)) | sym32
-    row_valid = jnp.broadcast_to(row_mask[:, None], (n, p))
+    if transposed:
+        row_valid = jnp.broadcast_to(row_mask[None, :], shp)
+    else:
+        row_valid = jnp.broadcast_to(row_mask[:, None], shp)
     valid = ~(has_n | has_pad) & row_valid
     # N-containing k-mers in real windows (ref had_n tally :513-517).
     # Positions touching padding are not real sliding positions (the batch
@@ -195,16 +211,21 @@ def exact_count_select_rows(
     # This keeps the 3.5M-element sort at a single uint32 key for k <= 16
     # (no 32-bit sentinel is free at k == 16 -- all-T IS 0xFFFFFFFF) and two
     # keys for k > 16.
+    # is_stable=False on every P-sized sort here: measured 8.60 -> 5.55 ms
+    # (1 key) / 10.39 -> 7.91 (2 keys) at P=3.5M on v5e (pass_decomp4).
+    # Safe: these sorts carry no payloads beyond their keys (equal-key
+    # entries are bit-identical and interchangeable).
     n_total_valid = jnp.sum(valid.astype(jnp.int32))
     n_invalid = jnp.int32(P) - n_total_valid
     if k <= 16:
         lo_s = jnp.where(valid, lo, jnp.uint32(0))
-        (s_lo,) = jax.lax.sort([lo_s], num_keys=1)
+        (s_lo,) = jax.lax.sort([lo_s], num_keys=1, is_stable=False)
         s_hi = jnp.zeros_like(s_lo)
     else:
         hi_s = jnp.where(valid, hi, jnp.uint32(0))
         lo_s = jnp.where(valid, lo, jnp.uint32(0))
-        s_hi, s_lo = jax.lax.sort([hi_s, lo_s], num_keys=2)
+        s_hi, s_lo = jax.lax.sort([hi_s, lo_s], num_keys=2,
+                                  is_stable=False)
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (P,), 0)
     prev_lo = jnp.roll(s_lo, 1)
@@ -283,10 +304,12 @@ def exact_count_select_rows(
             o1, o4 = _topk_rank(key1, s_lo, cap)
             sel_hi = jnp.zeros(cap, jnp.uint32)
         elif k <= 16:  # hi is identically zero; drop its key from the sort
-            o1, o4 = jax.lax.sort([key1, ~s_lo], num_keys=2)
+            o1, o4 = jax.lax.sort([key1, ~s_lo], num_keys=2,
+                                  is_stable=False)
             sel_hi = jnp.zeros(cap, jnp.uint32)
         else:
-            o1, o3, o4 = jax.lax.sort([key1, ~s_hi, ~s_lo], num_keys=3)
+            o1, o3, o4 = jax.lax.sort([key1, ~s_hi, ~s_lo], num_keys=3,
+                                      is_stable=False)
             sel_hi = (~o3).astype(jnp.uint32)[:cap]
         raw = o1[:cap] >> np.uint32(db)
         o_count = jnp.where(raw <= jnp.uint32(P), jnp.uint32(P) - raw,
@@ -294,10 +317,12 @@ def exact_count_select_rows(
     else:  # gigantic batches: unpacked 3/4-key fallback
         k1, k2, k3, k4 = compare_count_keys(s_hi, s_lo, count, k, valid=keep)
         if k <= 16:
-            o1, o2, o4 = jax.lax.sort([k1, k2, k4], num_keys=3)
+            o1, o2, o4 = jax.lax.sort([k1, k2, k4], num_keys=3,
+                                      is_stable=False)
             sel_hi = jnp.zeros(cap, jnp.uint32)
         else:
-            o1, o2, o3, o4 = jax.lax.sort([k1, k2, k3, k4], num_keys=4)
+            o1, o2, o3, o4 = jax.lax.sort([k1, k2, k3, k4], num_keys=4,
+                                          is_stable=False)
             sel_hi = (~o3).astype(jnp.uint32)[:cap]
         o_count = ~o1  # k1 is ~count (count desc)
     sel_lo = (~o4).astype(jnp.uint32)[:cap]

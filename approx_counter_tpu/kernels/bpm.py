@@ -50,10 +50,18 @@ r3 (native/sweep_carry.py, interleaved best-of-2): unroll in {8,16,24} x
 ctw in {8,16} x wt in {128,256} all land within +-2% of the production
 (8, 8, 256) config (best: unroll=16/ctw=8/wt=128 at +1.6%, inside A/B
 noise; unroll>=16 with wt=256 is 8-10% WORSE).  The state traffic is
-insensitive to these knobs -- the residual gap is irreducible without an
-op-count reduction, which the canonical recurrence does not offer (Eq
-needs 4 ops/position with the validity mask; level updates are the
-canonical 4 terms).
+insensitive to these knobs, and an ACTUAL op-count reduction was built
+and falsified in r4: ``prologue=True`` compile-time-specializes the
+first k-1 text steps (positions beyond the i <= j + d reachability
+bound and their Eq masks elided -- ~6.6% of total kernel ops at
+k=16/maxerr=2/m=104) yet measures a flat 1.030x / 0.998x interleaved
+vs production, bit-exact on chip (native/pass_decomp4.py).  Deleted ops
+do not convert to time at the margin, so the residual gap is carry
+streaming, not issue count; algebraic reformulations (e.g. carrying
+level set-differences) were analyzed op-neutral -- the D-form
+recurrence Dn_d = (D_d[i-1] & Eq) | D_{d-1}[i] | D_{d-1}[i-1] |
+Dn_{d-1}[i-1] has exactly the canonical 4 terms.  The floor question is
+closed with a measurement, not an assertion.
 Speed-of-light: every kernel here is VPU-bound, so per-step full-tile op
 count converts ~1:1 to throughput.  The sliced layout wins by deleting
 ops: NFA position shifts become index renames and 32 candidates share
@@ -708,7 +716,8 @@ def build_sliced_planes(peq, k: int):
 
 
 def _nfa_kernel_sliced(p0_ref, p1_ref, win_ref, wvalid_ref, out_ref, *,
-                       k: int, m: int, maxerr: int, unroll: int = 8):
+                       k: int, m: int, maxerr: int, unroll: int = 8,
+                       prologue: bool = False):
     wi = pl.program_id(1)
 
     Ctw = p0_ref.shape[0]
@@ -723,48 +732,107 @@ def _nfa_kernel_sliced(p0_ref, p1_ref, win_ref, wvalid_ref, out_ref, *,
     # R[d] holds only the variable positions i in [d, k-1] (index i - d);
     # i < d is the all-ones constant region (see header).  Init: R_d(0)
     # bit i = [i < d] -> variable region starts all-zero.
-    R = tuple(tuple(zeros for _ in range(d, k)) for d in range(n_levels))
-    h = tuple(zeros for _ in range(n_levels))  # sticky bit k-1 per level
+    #
+    # ``prologue=True``: the first k-1 text steps are specialized at
+    # compile time.  After consuming rows 0..j, R_d[i] can be nonzero only
+    # for i <= j + d (a level-d alignment ending at row j covers >= i+1-d
+    # text chars), so during step j every position beyond that bound --
+    # and every Eq[i] with i > j + maxerr -- is a known zero whose update
+    # ops need not be emitted.  Known zeros are carried as ``None`` and
+    # elided through the OR-reduction; the steady-state step (j=None)
+    # emits exactly the canonical op sequence.  ~6.6% of the kernel's
+    # total ops fall in this triangle at k=16/maxerr=2/m=104.
+
+    def mk_or(*terms):
+        ts = [t for t in terms if t is not None]
+        if not ts:
+            return None
+        r = ts[0]
+        for t in ts[1:]:
+            r = r | t
+        return r
+
+    def step(crow, carry, j=None):
+        R, h = carry
+        x0, x1, vm = crow
+        i_eq = k - 1 if j is None else min(k - 1, j + maxerr)
+        Eq = [((P0[i] ^ x0) & (P1[i] ^ x1)) & vm for i in range(i_eq + 1)]
+        Rn0 = [Eq[0]]
+        for i in range(1, k):
+            if j is not None and i > j:
+                Rn0.append(None)  # provably zero this early in the text
+            else:
+                pv = R[0][i - 1]
+                Rn0.append(None if pv is None else (pv & Eq[i]))
+        newR = [tuple(Rn0)]
+        for d in range(1, n_levels):
+            prev, below, belown = R[d], R[d - 1], newR[d - 1]
+            cur = []
+            for i in range(d, k):
+                if j is not None and i > j + d:
+                    cur.append(None)
+                    continue
+                # match: R_d[i-1] & Eq[i]; R_d[d-1] is the constant region
+                if i == d:
+                    match = Eq[i]
+                else:
+                    pv = prev[i - 1 - d]
+                    match = None if pv is None else (pv & Eq[i])
+                # insertion R_{d-1}[i], substitution R_{d-1}[i-1],
+                # deletion Rn_{d-1}[i-1] -- all variable at level d-1
+                cur.append(mk_or(match, below[i - (d - 1)],
+                                 below[i - d], belown[i - d]))
+            newR.append(tuple(cur))
+        newh = []
+        for d, (hh, nr) in enumerate(zip(h, newR)):
+            t = nr[k - 1 - d]
+            if t is None:
+                newh.append(hh)
+            elif hh is None:
+                newh.append(t)
+            else:
+                newh.append(hh | t)
+        return tuple(newR), tuple(newh)
 
     # caller pads m to the unroll size; larger unrolls amortize the carry
     # pytree's VMEM spill/reload across fori_loop iterations (the ~45 live
     # state tiles exceed the vreg file) at the price of pad steps.
     assert m % unroll == 0 and unroll % 8 == 0, (m, unroll)
 
-    def step(crow, carry):
-        R, h = carry
-        x0, x1, vm = crow
-        Eq = [((p0 ^ x0) & (p1 ^ x1)) & vm for p0, p1 in zip(P0, P1)]
-        Rn0 = [Eq[0]]
-        for i in range(1, k):
-            Rn0.append(R[0][i - 1] & Eq[i])
-        newR = [tuple(Rn0)]
-        for d in range(1, n_levels):
-            prev, below, belown = R[d], R[d - 1], newR[d - 1]
-            cur = []
-            for i in range(d, k):
-                # match: R_d[i-1] & Eq[i]; R_d[d-1] is the constant region
-                match = Eq[i] if i == d else (prev[i - 1 - d] & Eq[i])
-                # insertion R_{d-1}[i], substitution R_{d-1}[i-1],
-                # deletion Rn_{d-1}[i-1] -- all variable at level d-1
-                cur.append(match | below[i - (d - 1)]
-                           | below[i - d] | belown[i - d])
-            newR.append(tuple(cur))
-        newh = tuple(hh | nr[k - 1 - d] for d, (hh, nr) in
-                     enumerate(zip(h, newR)))
-        return tuple(newR), newh
+    def load_rows(base):
+        rows = win_ref[pl.ds(base, unroll), :].astype(jnp.int32)
+        X0, X1, VM = _slice_rows(rows)  # (unroll, Wt) x3
+        return [(X0[i][None, :], X1[i][None, :], VM[i][None, :])
+                for i in range(unroll)]
 
     def group(g, carry):
         base = pl.multiple_of(g * unroll, unroll)
-        rows = win_ref[pl.ds(base, unroll), :].astype(jnp.int32)
-        X0, X1, VM = _slice_rows(rows)  # (unroll, Wt) x3
-        for i in range(unroll):
-            carry = step(
-                (X0[i][None, :], X1[i][None, :], VM[i][None, :]), carry
-            )
+        for cr in load_rows(base):
+            carry = step(cr, carry)
         return carry
 
-    R, h = jax.lax.fori_loop(0, m // unroll, group, (R, h))
+    if prologue:
+        # specialized unrolled groups covering steps 0..k-2 (full steps
+        # emitted automatically once j >= k-1 inside the last group)
+        g0 = min(-(-(k - 1) // unroll), m // unroll)
+        carry = (
+            tuple(tuple(None for _ in range(d, k)) for d in range(n_levels)),
+            tuple(None for _ in range(n_levels)),
+        )
+        for g in range(g0):
+            for i, cr in enumerate(load_rows(g * unroll)):
+                carry = step(cr, carry, j=g * unroll + i)
+        # materialize remaining known-zeros for the loop carry
+        R = tuple(tuple(zeros if x is None else x for x in lev)
+                  for lev in carry[0])
+        h = tuple(zeros if x is None else x for x in carry[1])
+    else:
+        g0 = 0
+        R = tuple(tuple(zeros for _ in range(d, k))
+                  for d in range(n_levels))
+        h = tuple(zeros for _ in range(n_levels))
+
+    R, h = jax.lax.fori_loop(g0, m // unroll, group, (R, h))
     wv = wvalid_ref[:].astype(jnp.int32)  # (1, Wt)
     cols = []
     for c in range(32):
@@ -789,12 +857,13 @@ def _nfa_kernel_sliced(p0_ref, p1_ref, win_ref, wvalid_ref, out_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ctw", "wt", "interpret", "maxerr", "unroll"),
+    static_argnames=("k", "ctw", "wt", "interpret", "maxerr", "unroll",
+                     "prologue"),
 )
 def approx_counts_pallas_sliced(
     peq, windows_t, window_valid, k: int,
     ctw: int = 8, wt: int = 256, interpret: bool = False,
-    maxerr: int = MAXERR, unroll: int = 8,
+    maxerr: int = MAXERR, unroll: int = 8, prologue: bool = False,
 ):
     """Candidate-bit-sliced NFA; same contract as approx_counts_pallas.
 
@@ -829,7 +898,7 @@ def approx_counts_pallas_sliced(
            + sum(4 * (k - d) for d in range(1, n_levels)) + n_levels)
     out = pl.pallas_call(
         functools.partial(_nfa_kernel_sliced, k=k, m=m, maxerr=maxerr,
-                          unroll=unroll),
+                          unroll=unroll, prologue=prologue),
         out_shape=jax.ShapeDtypeStruct((Cw, 32), jnp.int32),
         grid=grid,
         in_specs=[

@@ -31,6 +31,7 @@ from approx_counter_tpu.core.codec import (
     split_code,
     unpack_windows_jnp,
     unpack_windows_sparse_jnp,
+    unpack_windows_sparse_t_jnp,
 )
 from approx_counter_tpu.core.complexity import lc_sum_threshold
 from approx_counter_tpu.count.approx import approx_count_rank
@@ -100,6 +101,52 @@ def had_n_warning(had_n: int) -> None:
         )
 
 
+def _pack_pass_output(out, cap: int, k: int):
+    """Device-side: flatten the fused pass's output dict into ONE uint32
+    vector so the host pays a single fetch round trip instead of ~10
+    (scalars first, then [cap] blocks; see unpack_pass_output)."""
+    import jax.numpy as jnp
+
+    ex = out["exact"]
+    head = jnp.stack([
+        ex["n_unique"].astype(jnp.uint32),
+        ex["n_keep"].astype(jnp.uint32),
+        ex["had_n"].astype(jnp.uint32),
+        ex["n_pass"].astype(jnp.uint32),
+    ])
+    parts = [
+        head,
+        ex["sel_lo"], ex["sel_count"],
+        ex["sel_valid"].astype(jnp.uint32),
+        out["approx_lo"], out["approx_count"],
+        out["approx_valid"].astype(jnp.uint32),
+    ]
+    if k > 16:
+        parts += [ex["sel_hi"], out["approx_hi"]]
+    return jnp.concatenate(parts)
+
+
+def unpack_pass_output(arr: np.ndarray, cap: int, k: int) -> dict:
+    """Host-side inverse of :func:`_pack_pass_output` -> the same dict
+    shape ``_fused_fn`` returns unpacked."""
+    arr = np.asarray(arr)
+    blocks = [arr[4 + i * cap: 4 + (i + 1) * cap] for i in range(8)]
+    zeros = np.zeros(cap, np.uint32)
+    ex = dict(
+        n_unique=np.int32(arr[0]), n_keep=np.int32(arr[1]),
+        had_n=np.int32(arr[2]), n_pass=np.int32(arr[3]),
+        sel_lo=blocks[0], sel_count=blocks[1],
+        sel_valid=blocks[2].astype(bool),
+        sel_hi=blocks[6] if k > 16 else zeros,
+    )
+    return dict(
+        exact=ex,
+        approx_hi=blocks[7] if k > 16 else zeros,
+        approx_lo=blocks[3], approx_count=blocks[4],
+        approx_valid=blocks[5].astype(bool),
+    )
+
+
 def candidates_from_codes(codes: np.ndarray):
     """Build padded selection arrays from an explicit candidate list
     (resume-from-exact mode).  Codes are re-ranked by CompareCount with
@@ -139,7 +186,11 @@ class _PendingPass:
         engine = self.engine
         cap, dev = self.cap, self.dev
         while True:
-            out = jax.device_get(dev)
+            fetched = jax.device_get(dev)
+            if engine.packed_out:
+                out = unpack_pass_output(fetched, cap, engine.prm.k)
+            else:
+                out = fetched
             n_keep = int(out["exact"]["n_keep"])
             if n_keep <= cap:
                 break
@@ -176,7 +227,33 @@ class Engine:
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
-        self._fused_cache: dict[int, object] = {}
+        # Production switches for the fused sparse pass (round-4 latency
+        # work; measured in native/pass_decomp.py):
+        #   transposed -- unpack straight to the [m, W] text-major layout
+        #     (no [n, m] materialization, no 4 MB device transpose);
+        #   packed_out -- one concatenated uint32 output vector, ONE host
+        #     fetch round trip instead of ~10 (device_get walks the dict
+        #     leaf by leaf through the remote tunnel).
+        self.transposed = True
+        self.packed_out = True
+        self._fused_cache: dict[tuple, object] = {}
+        self._tail_cache = None
+
+    def _tail_dev(self):
+        """The five pass-invariant arguments, device-resident ONCE per
+        Engine: passing them as host numpy values re-ships each of them
+        every dispatch, and on the remote tunnel every argument transfer
+        is its own ~3 ms round trip (native/pass_decomp4b.py)."""
+        if self._tail_cache is None:
+            prm = self.prm
+            self._tail_cache = tuple(
+                jax.device_put(x) for x in (
+                    self.lc_sum_thr, self.fhi, self.flo,
+                    np.int32(min(prm.limit, np.iinfo(np.int32).max)),
+                    np.int32(prm.solid_km),
+                )
+            )
+        return self._tail_cache
 
     def candidates_from_codes(self, codes: np.ndarray):
         return candidates_from_codes(codes)
@@ -255,7 +332,9 @@ class Engine:
         exact_counts = out["sel_count"][:n_keep].astype(np.uint64)
         return (exact_codes, exact_counts), approx, stats
 
-    def _fused_fn(self, cap: int, m: int, fmt: str = "dense"):
+    def _fused_fn(self, cap: int, m: int, fmt: str = "dense",
+                  transposed: bool | None = None,
+                  packed_out: bool | None = None):
         """One jitted device program for a full top-N pass: packed-window
         unpack + exact count + selection + BPM scoring + CompareCount
         re-rank (single dispatch, single fetch, packed H2D -- the
@@ -269,14 +348,29 @@ class Engine:
         device-resident uint8 [n, m] batch (no transfer, no unpack --
         the library-embedding path).
 
-        Cached per (cap, m, fmt) in an instance dict (a method-level
-        lru_cache would pin ``self`` forever -- a leak for library
-        embeddings that create many Engines)."""
-        key = (cap, m, fmt)
+        ``transposed`` (sparse fmt only): unpack straight into the [m, W]
+        text-major layout both the BPM kernel and the transposed exact
+        stage consume -- no [n, m] materialization, no 4 MB device
+        transpose.  ``packed_out``: flatten the whole output dict into
+        one uint32 vector so the host fetch is a single round trip.
+        Defaults come from the Engine's production switches.
+
+        Cached per config in an instance dict (a method-level lru_cache
+        would pin ``self`` forever -- a leak for library embeddings that
+        create many Engines)."""
+        if transposed is None:
+            transposed = self.transposed and fmt == "sparse"
+        if packed_out is None:
+            packed_out = self.packed_out
+        transposed = transposed and fmt == "sparse"
+        key = (cap, m, fmt, transposed, packed_out)
         if key in self._fused_cache:
             return self._fused_cache[key]
         prm = self.prm
-        from approx_counter_tpu.count.approx import approx_count_rank
+        from approx_counter_tpu.count.approx import (
+            approx_count_rank,
+            rank_with_zero_counts,
+        )
 
         def body(windows, n_valid, lc_thr, fhi, flo, limit, solid_km):
             ex = exact_count_select(
@@ -293,43 +387,96 @@ class Engine:
                 approx_count=a_cnt, approx_valid=a_val,
             )
 
-        if fmt == "sparse":
+        def body_t(windows_t, n_valid, lc_thr, fhi, flo, limit, solid_km):
+            """Transposed-layout body: one [m, W] batch feeds both stages."""
+            import jax.numpy as jnp
+
+            from approx_counter_tpu.count.exact import (
+                exact_count_select_rows,
+            )
+            from approx_counter_tpu.kernels.bpm import (
+                approx_counts,
+                build_peq,
+            )
+
+            W = windows_t.shape[1]
+            row_mask = jax.lax.broadcasted_iota(
+                jnp.int32, (W,), 0) < n_valid
+            ex = exact_count_select_rows(
+                windows_t, row_mask, prm.k, lc_thr, fhi, flo, limit,
+                solid_km, cap=cap, n_forbidden=len(self.forbidden),
+                use_solid=False, transposed=True,
+            )
+            peq = build_peq(ex["sel_hi"], ex["sel_lo"], prm.k)
+            counts = approx_counts(
+                peq, windows_t, row_mask, prm.k, maxerr=prm.max_error,
+                use_pallas=self.use_pallas,
+            )
+            a_hi, a_lo, a_cnt, a_val = rank_with_zero_counts(
+                ex["sel_hi"], ex["sel_lo"], counts, ex["sel_valid"], prm.k
+            )
+            return dict(
+                exact=ex, approx_hi=a_hi, approx_lo=a_lo,
+                approx_count=a_cnt, approx_valid=a_val,
+            )
+
+        def finish_out(out):
+            return _pack_pass_output(out, cap, prm.k) if packed_out else out
+
+        if fmt == "sparse" and transposed:
 
             @jax.jit
-            def step(lo_planes, n_idx, ncols, n_valid, lc_thr, fhi, flo,
+            def step(lo_planes, n_idx_ext, lc_thr, fhi, flo,
                      limit, solid_km):
+                # per-pass scalars ride the tail of the n_idx buffer so a
+                # pass ships exactly TWO device transfers (the plane + the
+                # scatter list) -- each extra argument is its own H2D
+                # round trip through the remote tunnel (~3 ms apiece;
+                # native/pass_decomp4b.py)
+                n_idx = n_idx_ext[:-2]
+                n_valid = n_idx_ext[-2]
+                ncols = n_idx_ext[-1]
+                windows_t = unpack_windows_sparse_t_jnp(
+                    lo_planes, n_idx, n_valid, ncols, m
+                )
+                return finish_out(body_t(windows_t, n_valid, lc_thr, fhi,
+                                         flo, limit, solid_km))
+
+        elif fmt == "sparse":
+
+            @jax.jit
+            def step(lo_planes, n_idx_ext, lc_thr, fhi, flo,
+                     limit, solid_km):
+                n_idx = n_idx_ext[:-2]
+                n_valid = n_idx_ext[-2]
+                ncols = n_idx_ext[-1]
                 windows = unpack_windows_sparse_jnp(
                     lo_planes, n_idx, n_valid, ncols, m
                 )
-                return body(windows, n_valid, lc_thr, fhi, flo, limit,
-                            solid_km)
+                return finish_out(body(windows, n_valid, lc_thr, fhi, flo,
+                                       limit, solid_km))
 
         elif fmt == "raw":
 
             @jax.jit
             def step(windows, n_valid, lc_thr, fhi, flo, limit, solid_km):
-                return body(windows, n_valid, lc_thr, fhi, flo, limit,
-                            solid_km)
+                return finish_out(body(windows, n_valid, lc_thr, fhi, flo,
+                                       limit, solid_km))
 
         else:
 
             @jax.jit
             def step(planes, n_valid, lc_thr, fhi, flo, limit, solid_km):
                 windows = unpack_windows_jnp(planes, m)
-                return body(windows, n_valid, lc_thr, fhi, flo, limit,
-                            solid_km)
+                return finish_out(body(windows, n_valid, lc_thr, fhi, flo,
+                                       limit, solid_km))
 
         self._fused_cache[key] = step
         return step
 
     def _dispatch_fused(self, planes, m: int, n_valid, cap: int):
         """Async-dispatch one fused top-N pass on pre-packed planes."""
-        prm = self.prm
-        return self._fused_fn(cap, m)(
-            planes, n_valid, self.lc_sum_thr, self.fhi, self.flo,
-            np.int32(min(prm.limit, np.iinfo(np.int32).max)),
-            np.int32(prm.solid_km),
-        )
+        return self._fused_fn(cap, m)(planes, n_valid, *self._tail_dev())
 
     def _fused_step(self, windows, n_valid, cap: int):
         """windows: host uint8 [n, m] batch -- packed on the host, shipped
@@ -353,12 +500,7 @@ class Engine:
         execution time."""
         cap = max(512, _round_up(min(self.prm.limit, 1 << 20), CT))
         n_valid32 = np.int32(n_valid)
-        prm = self.prm
-        tail = (
-            self.lc_sum_thr, self.fhi, self.flo,
-            np.int32(min(prm.limit, np.iinfo(np.int32).max)),
-            np.int32(prm.solid_km),
-        )
+        tail = self._tail_dev()
         if not isinstance(windows, np.ndarray):
             # already device-resident (library embedding): dispatch the
             # raw-batch executable -- np.asarray here would drag the batch
@@ -375,12 +517,19 @@ class Engine:
         sparse = pack_windows_sparse(windows, int(n_valid))
         if sparse is not None:
             lo_planes, n_idx, ncols, m = sparse
+            # fold the per-pass scalars into the scatter buffer: the pass
+            # ships exactly two arrays (plane + list), nothing else
+            n_idx_ext = np.empty(len(n_idx) + 2, np.int32)
+            n_idx_ext[:-2] = n_idx
+            n_idx_ext[-2] = n_valid
+            n_idx_ext[-1] = ncols
             if prefetch:
                 lo_planes = jax.device_put(lo_planes)
+                n_idx_ext = jax.device_put(n_idx_ext)
 
             def redispatch(cap):
                 return self._fused_fn(cap, m, "sparse")(
-                    lo_planes, n_idx, np.int32(ncols), n_valid32, *tail
+                    lo_planes, n_idx_ext, *tail
                 )
 
         else:

@@ -59,21 +59,23 @@ for _ in range(3):
 log(f"(a) full pass, host inputs:          {best * 1e3:.1f} ms")
 
 # (b) device-resident: pre-pack + pre-put all buffers, same executable
-fn = eng._fused_fn(512, M, "sparse")
+# (packed_out=False so the per-key fetch fence below still works)
+fn = eng._fused_fn(512, M, "sparse", packed_out=False)
 packed = []
 for i in range(ITERS):
     lo, n_idx, ncols, m = pack_windows_sparse(bufs[i], W - 5)
-    packed.append((jax.device_put(lo), jax.device_put(n_idx),
-                   np.int32(ncols)))
+    n_idx_ext = np.empty(len(n_idx) + 2, np.int32)
+    n_idx_ext[:-2] = n_idx
+    n_idx_ext[-2] = W - 5
+    n_idx_ext[-1] = ncols
+    packed.append((jax.device_put(lo), jax.device_put(n_idx_ext)))
 jax.block_until_ready([p[0] for p in packed])
-tail = (eng.lc_sum_thr, eng.fhi, eng.flo, np.int32(prm.limit),
-        np.int32(prm.solid_km))
-nv = np.int32(W - 5)
+tail = eng._tail_dev()
 best = None
 for _ in range(3):
     t0 = time.perf_counter()
-    for lo, n_idx, ncols in packed:
-        out = fn(lo, n_idx, ncols, nv, *tail)
+    for lo, n_idx_ext in packed:
+        out = fn(lo, n_idx_ext, *tail)
         int(jax.device_get(out["exact"]["n_keep"]))  # small fetch fence
     dt = (time.perf_counter() - t0) / ITERS
     best = dt if best is None else min(best, dt)
@@ -86,8 +88,8 @@ best = None
 for _ in range(3):
     t0 = time.perf_counter()
     acc = None
-    for lo, n_idx, ncols in packed:
-        out = fn(lo, n_idx, ncols, nv, *tail)
+    for lo, n_idx_ext in packed:
+        out = fn(lo, n_idx_ext, *tail)
         c = out["approx_count"]
         acc = c if acc is None else acc + c
     np.asarray(acc)

@@ -73,6 +73,9 @@ for k in (2, 8, 16, 31, 32):
             ("sliced-u16", lambda: approx_counts_pallas_sliced(
                 peq, wins, valid, k, ctw=8, wt=W, maxerr=maxerr,
                 unroll=16)),
+            ("sliced-pro", lambda: approx_counts_pallas_sliced(
+                peq, wins, valid, k, ctw=8, wt=W, maxerr=maxerr,
+                prologue=True)),
             ("myers", lambda: approx_counts_pallas(
                 peq, wins, valid, k, ct=32, wt=W, maxerr=maxerr)),
         ]
@@ -166,6 +169,66 @@ got = np.asarray(jax.jit(partial(unpack_windows_jnp, m=m_r))(planes))
 ok = (got == wb).all()
 fails += 0 if ok else 1
 record("dense window unpack roundtrip:    " + ("OK" if ok else "FAIL"))
+
+from approx_counter_tpu.core.codec import (  # noqa: E402
+    unpack_windows_sparse_t_jnp,
+)
+
+got = np.asarray(
+    jax.jit(partial(unpack_windows_sparse_t_jnp, m=m_r))(
+        lo_p, n_idx, np.int32(nv), np.int32(got_ncols)
+    )
+)
+ok = (got == wb.T).all()
+fails += 0 if ok else 1
+record("transposed sparse unpack roundtrip: " + ("OK" if ok else "FAIL"))
+
+# ---------------------------------------------------------------------------
+# Fused production pass on hardware: the ONE jit program the CLI actually
+# dispatches (Engine._fused_fn: sparse unpack + exact + BPM + re-rank,
+# pipeline.py) on an adversarial batch -- Ns, pad rows, duplicate-window
+# count classes, boundary ties -- byte-compared against the oracle
+# pipeline.  Covers the composition (and the packed single-fetch output),
+# which the per-kernel differentials above cannot.
+# Ref behavior preserved: approx_counter.cpp:835-955.
+# ---------------------------------------------------------------------------
+from approx_counter_tpu.core.complexity import adjust_threshold  # noqa: E402
+from approx_counter_tpu.oracle import (  # noqa: E402
+    oracle_error_count,
+    oracle_sort_compare_count,
+)
+from approx_counter_tpu.params import Params  # noqa: E402
+from approx_counter_tpu.pipeline import Engine  # noqa: E402
+
+kf, slf, nf, nvf, limitf = 8, 24, 128, 121, 37
+wf = np.full((nf, slf + 1), BASE_PAD, np.uint8)
+wf[:nvf, :slf] = rng.integers(0, 4, (nvf, slf))
+wf[2] = wf[1]           # count-2 class
+wf[3] = wf[1]           # count-3 class member
+for _ in range(23):     # Ns inside the valid region (had_n + masking)
+    wf[rng.integers(0, nvf), rng.integers(0, slf)] = BASE_N
+
+prmf = Params(input_file="<mem>", output="/tmp/x", k=kf, sl=slf,
+              limit=limitf, param_lc=1.0)
+lcf = adjust_threshold(1.0, 16, kf)
+windows_list = [wf[i, :slf] for i in range(nvf)]
+counter_f, had_n_f = oracle_count_kmers(windows_list, kf, lcf, set())
+sel_f = oracle_get_most_frequent(counter_f, limitf, kf)
+approx_f = oracle_error_count(windows_list, [c for c, _ in sel_f], kf)
+ranked_f = oracle_sort_compare_count(approx_f, kf)[:limitf]
+
+engf = Engine(prmf, use_pallas=True)
+for tag, tr, po in (("prod transposed+packed", True, True),
+                    ("fallback dict layout  ", False, False)):
+    engf.transposed, engf.packed_out = tr, po
+    (ec, ecnt), (ac, acnt), stats = engf.start_pass(wf, nvf).finish()
+    ok = (
+        list(zip(ec.tolist(), ecnt.tolist())) == sel_f
+        and list(zip(ac.tolist(), acnt.tolist())) == ranked_f
+        and stats["had_n"] == had_n_f
+    )
+    fails += 0 if ok else 1
+    record(f"fused pass [{tag}] vs oracle: " + ("OK" if ok else "FAIL"))
 
 verdict = "PASS" if fails == 0 else f"FAIL ({fails})"
 record(f"TPU-CHECK {verdict}")

@@ -401,6 +401,39 @@ class TestNfaSliced:
         )
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize("k", [2, 3, 16, 32])
+    @pytest.mark.parametrize("maxerr", [0, 2, 3])
+    def test_sliced_prologue_matches_jnp(self, k, maxerr, rng):
+        """prologue=True compile-time-specializes the first k-1 text steps
+        (positions beyond the i <= j + d reachability bound elided as
+        known zeros) -- must stay bit-identical to the jnp reference,
+        including texts SHORTER than the prologue (m < k)."""
+        from approx_counter_tpu.kernels.bpm import approx_counts_pallas_sliced
+
+        C, W = 40, 128
+        for m in (40, 8):  # m=8 < k-1 for k=16/32: prologue-only text
+            pats = _random_patterns(rng, C, k)
+            wins = rng.integers(0, 6, (W, m)).astype(np.uint8)
+            for w in range(0, W, 4):
+                if m >= k:
+                    pos = rng.integers(0, m - k + 1)
+                    wins[w, pos : pos + k] = pats[w % C]
+            valid = np.ones(W, bool)
+            valid[-7:] = False
+            hi, lo = split_code(_codes(pats))
+            peq = build_peq(hi, lo, k)
+            want = np.asarray(
+                approx_counts_jnp(peq, wins.T.copy(), valid, k,
+                                  maxerr=maxerr)
+            )
+            got = np.asarray(
+                approx_counts_pallas_sliced(
+                    peq, wins.T.copy(), valid, k, ctw=1, wt=128,
+                    interpret=True, maxerr=maxerr, prologue=True,
+                )
+            )
+            np.testing.assert_array_equal(got, want, err_msg=f"m={m}")
+
     def test_sliced_multi_word_tiles(self, rng):
         """ctw > 1 (several 32-candidate words per tile) and W > wt (the
         cross-window-tile output accumulation)."""

@@ -255,3 +255,35 @@ class TestOrdering:
         got_codes = join_code(np.asarray(s_hi), np.asarray(s_lo))
         got = list(zip(got_codes.tolist(), np.asarray(s_cnt).tolist()))
         assert got == want
+
+
+class TestTransposedUnpack:
+    @pytest.mark.parametrize("m", [101, 32, 7])
+    def test_sparse_t_matches_sparse_transpose(self, m, rng):
+        """unpack_windows_sparse_t_jnp == unpack_windows_sparse_jnp.T --
+        the round-4 fused-pass layout (no [n, m] materialization)."""
+        import jax
+
+        from approx_counter_tpu.core.codec import (
+            BASE_N,
+            pack_windows_sparse,
+            unpack_windows_sparse_jnp,
+            unpack_windows_sparse_t_jnp,
+        )
+
+        n, n_valid = 24, 19
+        w = np.full((n, m), 5, np.uint8)
+        ncols = m - 1 if m > 8 else m
+        w[:n_valid, :ncols] = rng.integers(0, 4, (n_valid, ncols))
+        for _ in range(5):
+            w[rng.integers(0, n_valid), rng.integers(0, ncols)] = BASE_N
+        sp = pack_windows_sparse(w, n_valid)
+        assert sp is not None
+        lo, n_idx, got_ncols, mm = sp
+        args = (lo, n_idx, np.int32(n_valid), np.int32(got_ncols))
+        flat = np.asarray(jax.jit(
+            lambda *a: unpack_windows_sparse_jnp(*a, m=mm))(*args))
+        trans = np.asarray(jax.jit(
+            lambda *a: unpack_windows_sparse_t_jnp(*a, m=mm))(*args))
+        np.testing.assert_array_equal(trans, flat.T)
+        np.testing.assert_array_equal(flat, w)

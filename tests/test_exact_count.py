@@ -198,3 +198,32 @@ def test_hierarchical_topk_path_matches_oracle(rng):
     np.testing.assert_array_equal(np.asarray(v_h), np.asarray(v_f))
     np.testing.assert_array_equal(np.asarray(x)[np.asarray(i_h)],
                                   np.asarray(v_h))
+
+
+class TestTransposedExact:
+    @pytest.mark.parametrize("k", [6, 16, 20])
+    def test_transposed_layout_matches(self, k, rng):
+        """exact_count_select_rows(transposed=True) on the [m, n] layout
+        must reproduce the [n, m] result exactly (round-4 fused pass)."""
+        from approx_counter_tpu.core.complexity import lc_sum_threshold
+        from approx_counter_tpu.count.exact import exact_count_select_rows
+
+        n, m = 48, 40
+        w = rng.integers(0, 4, (n, m)).astype(np.uint8)
+        w[3, 5] = 4  # an N
+        w[:, m - 1] = 5  # trailing pad column (start-batch shape)
+        row_mask = np.ones(n, bool)
+        row_mask[-6:] = False
+        thr = np.int32(lc_sum_threshold(1.0, k))
+        fhi = np.zeros(0, np.uint32)
+        flo = np.zeros(0, np.uint32)
+        kw = dict(cap=64, n_forbidden=0, use_solid=False)
+        a = exact_count_select_rows(
+            w, row_mask, k, thr, fhi, flo, np.int32(20), np.int32(0), **kw)
+        b = exact_count_select_rows(
+            np.ascontiguousarray(w.T), row_mask, k, thr, fhi, flo,
+            np.int32(20), np.int32(0), transposed=True, **kw)
+        for key in ("sel_hi", "sel_lo", "sel_count", "sel_valid",
+                    "n_unique", "n_pass", "n_keep", "had_n"):
+            np.testing.assert_array_equal(
+                np.asarray(a[key]), np.asarray(b[key]), err_msg=key)
