@@ -732,7 +732,13 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
                              n_keep=len(resume_codes), had_n=0)
             else:
                 if pending is None and can_pipeline:
-                    pending = engine.start_pass(batch.windows, batch.n_valid)
+                    # prefetch=True: async-put the buffers even for the
+                    # first pass -- async H2D amortizes the tunnel's
+                    # ~27 ms per-sync cost (55 -> 31 ms/MB measured,
+                    # native/put_pipeline_probe.py)
+                    pending = engine.start_pass(
+                        batch.windows, batch.n_valid, prefetch=True
+                    )
                 nxt = next_pass_key(current_run, which_end)
                 if pending is not None and nxt is not None:
                     # a pass is in flight: overlap the next pass's
