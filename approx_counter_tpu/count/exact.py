@@ -77,6 +77,17 @@ def _topk_global(x_i32, cap: int):
     return v2, gi[j]
 
 
+def _cap_slice(x, cap: int, fill):
+    """``x[:cap]``, right-padded with ``fill`` when x is shorter than cap
+    -- solid-mode cap regrowth can push cap past P on small batches, and
+    a bare slice would silently return P-sized arrays that break the
+    fixed-cap output contract."""
+    if x.shape[0] >= cap:
+        return x[:cap]
+    pad = jnp.full((cap - x.shape[0],), fill, x.dtype)
+    return jnp.concatenate([x, pad])
+
+
 def _topk_rank(key1, s_lo, cap: int):
     """Exact CompareCount top-``cap`` selection without sorting all P
     entries: two (hierarchical) top_k passes + a tiny exact sort.
@@ -310,8 +321,8 @@ def exact_count_select_rows(
         else:
             o1, o3, o4 = jax.lax.sort([key1, ~s_hi, ~s_lo], num_keys=3,
                                       is_stable=False)
-            sel_hi = (~o3).astype(jnp.uint32)[:cap]
-        raw = o1[:cap] >> np.uint32(db)
+            sel_hi = _cap_slice((~o3).astype(jnp.uint32), cap, 0)
+        raw = _cap_slice(o1, cap, np.uint32(0xFFFFFFFF)) >> np.uint32(db)
         o_count = jnp.where(raw <= jnp.uint32(P), jnp.uint32(P) - raw,
                             jnp.uint32(0))
     else:  # gigantic batches: unpacked 3/4-key fallback
@@ -323,9 +334,9 @@ def exact_count_select_rows(
         else:
             o1, o2, o3, o4 = jax.lax.sort([k1, k2, k3, k4], num_keys=4,
                                           is_stable=False)
-            sel_hi = (~o3).astype(jnp.uint32)[:cap]
-        o_count = ~o1  # k1 is ~count (count desc)
-    sel_lo = (~o4).astype(jnp.uint32)[:cap]
+            sel_hi = _cap_slice((~o3).astype(jnp.uint32), cap, 0)
+        o_count = ~_cap_slice(o1, cap, np.uint32(0xFFFFFFFF))
+    sel_lo = _cap_slice((~o4).astype(jnp.uint32), cap, 0)
     sel_count = o_count[:cap]
     rank = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
     n_keep = n_pass if use_solid else jnp.minimum(n_pass, limit)

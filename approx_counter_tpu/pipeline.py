@@ -283,54 +283,14 @@ class Engine:
         Returns (exact_sel, approx_sel) as (codes, counts) numpy pairs in
         CompareCount order, plus stats.
 
-        Top-N mode (the default): n_keep <= limit <= cap always holds, so
-        the whole pass -- exact count, selection, BPM scoring, re-rank --
-        is ONE jitted call and ONE batched fetch; every extra dispatch or
-        fetch costs a full round trip through the (remote) device tunnel.
-        Solid mode keeps the two-phase path because the candidate count is
-        data-dependent and may force a re-trace at a larger cap.
-        """
-        prm = self.prm
-        if prm.solid_km <= 0:
-            return self.start_pass(windows, n_valid).finish()
-
-        cap = max(512, _round_up(min(prm.limit, 1 << 20), CT))
-        windows = self.device_windows(windows, n_valid)
-        while True:
-            dev_out = exact_count_select(
-                windows,
-                np.int32(n_valid),
-                prm.k,
-                self.lc_sum_thr,
-                self.fhi,
-                self.flo,
-                np.int32(min(prm.limit, np.iinfo(np.int32).max)),
-                np.int32(prm.solid_km),
-                cap=cap,
-                n_forbidden=len(self.forbidden),
-                use_solid=True,
-            )
-            # one batched host fetch -- each separate np.asarray pays a full
-            # device round-trip (tens of ms through the remote tunnel)
-            out = jax.device_get(dev_out)
-            n_keep = int(out["n_keep"])
-            if n_keep <= cap:
-                break
-            cap = _round_up(n_keep, CT)  # solid mode can exceed; re-trace
-        dev_approx = self._approx_dispatch(
-            windows, n_valid, dev_out["sel_hi"], dev_out["sel_lo"],
-            dev_out["sel_valid"], cap,
-        )
-
-        stats = dict(
-            n_unique=int(out["n_unique"]),
-            n_keep=n_keep,
-            had_n=int(out["had_n"]),
-        )
-        approx = self._approx_finish(dev_approx)
-        exact_codes = join_code(out["sel_hi"][:n_keep], out["sel_lo"][:n_keep])
-        exact_counts = out["sel_count"][:n_keep].astype(np.uint64)
-        return (exact_codes, exact_counts), approx, stats
+        BOTH selection modes run as ONE jitted call and ONE batched fetch
+        (every extra dispatch or fetch costs a full round trip through
+        the remote device tunnel).  Solid mode's data-dependent candidate
+        count rides the same cap-regrowth loop as top-N's limit>2^20
+        corner: when n_keep exceeds the cap, ``finish`` re-traces at the
+        true size (round 4 -- solid previously paid an un-fused,
+        un-pipelined two-dispatch path)."""
+        return self.start_pass(windows, n_valid).finish()
 
     def _fused_fn(self, cap: int, m: int, fmt: str = "dense",
                   transposed: bool | None = None,
@@ -363,7 +323,8 @@ class Engine:
         if packed_out is None:
             packed_out = self.packed_out
         transposed = transposed and fmt == "sparse"
-        key = (cap, m, fmt, transposed, packed_out)
+        use_solid = self.prm.solid_km > 0
+        key = (cap, m, fmt, transposed, packed_out, use_solid)
         if key in self._fused_cache:
             return self._fused_cache[key]
         prm = self.prm
@@ -375,7 +336,8 @@ class Engine:
         def body(windows, n_valid, lc_thr, fhi, flo, limit, solid_km):
             ex = exact_count_select(
                 windows, n_valid, prm.k, lc_thr, fhi, flo, limit, solid_km,
-                cap=cap, n_forbidden=len(self.forbidden), use_solid=False,
+                cap=cap, n_forbidden=len(self.forbidden),
+                use_solid=use_solid,
             )
             a_hi, a_lo, a_cnt, a_val = approx_count_rank(
                 windows, n_valid, ex["sel_hi"], ex["sel_lo"],
@@ -405,7 +367,7 @@ class Engine:
             ex = exact_count_select_rows(
                 windows_t, row_mask, prm.k, lc_thr, fhi, flo, limit,
                 solid_km, cap=cap, n_forbidden=len(self.forbidden),
-                use_solid=False, transposed=True,
+                use_solid=use_solid, transposed=True,
             )
             peq = build_peq(ex["sel_hi"], ex["sel_lo"], prm.k)
             counts = approx_counts(
@@ -642,7 +604,7 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
     # pass is the same run's end pass, or (multi-run) the next run's start
     # pass.  Sampling order (start, end, start, ...) is unchanged, so
     # seeded outputs are byte-identical to the sequential path.
-    can_pipeline = resume_codes is None and prm.solid_km <= 0
+    can_pipeline = resume_codes is None  # solid mode fused+pipelined in r4
     runs_end_pass = (not prm.skip_end) or (
         prm.compat_quirks and mr_v == 0  # reference skip_end bug
     )

@@ -356,3 +356,34 @@ def test_start_pass_device_resident_batch(rng):
     np.testing.assert_array_equal(want[1][0], got[1][0])
     np.testing.assert_array_equal(want[1][1], got[1][1])
     assert want[2] == got[2]
+
+
+def test_solid_mode_fused_cap_regrowth(rng):
+    """Solid mode rides the fused single-dispatch pass (round 4); when the
+    data-dependent candidate count exceeds the initial cap (512), finish()
+    must re-trace at the true size and stay byte-correct vs the oracle."""
+    from approx_counter_tpu.core.codec import join_code, split_code  # noqa
+    from approx_counter_tpu.pipeline import Engine
+
+    k, sl, n = 6, 31, 40
+    windows = np.full((n, sl + 1), 5, np.uint8)
+    windows[:, :sl] = rng.integers(0, 4, (n, sl))
+    prm = Params(input_file="<mem>", output="/tmp/x", k=k, sl=sl,
+                 solid_km=1, limit=100, param_lc=100.0)
+    eng = Engine(prm, use_pallas=False)
+    pend = eng.start_pass(windows, n)
+    assert pend.cap == 512
+    (ec, ecnt), (ac, acnt), stats = pend.finish()
+    assert stats["n_keep"] > 512  # the regrowth actually happened
+
+    wins_list = [windows[i, :sl] for i in range(n)]
+    lc = adjust_threshold(100.0, 16, k)
+    counter, _ = oracle_count_kmers(wins_list, k, lc, set())
+    want_sel = oracle_get_solid_kmers(counter, 1, k)
+    want_sel = oracle_sort_compare_count(dict(want_sel), k)  # quirk 5:
+    # deterministic CompareCount order replaces the ref's tie-free sort
+    assert stats["n_keep"] == len(want_sel)
+    assert list(zip(ec.tolist(), ecnt.tolist())) == want_sel
+    approx = oracle_error_count(wins_list, [c for c, _ in want_sel], k)
+    ranked = oracle_sort_compare_count(approx, k)[: prm.limit]
+    assert list(zip(ac.tolist(), acnt.tolist())) == ranked
