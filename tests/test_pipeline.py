@@ -387,3 +387,44 @@ def test_solid_mode_fused_cap_regrowth(rng):
     approx = oracle_error_count(wins_list, [c for c, _ in want_sel], k)
     ranked = oracle_sort_compare_count(approx, k)[: prm.limit]
     assert list(zip(ac.tolist(), acnt.tolist())) == ranked
+
+
+def test_dense_fallback_fused_packed_output(rng):
+    """A batch with more Ns than the sparse format's scatter cap falls
+    back to the dense two-plane format -- which must flow through the
+    round-4 packed-output plumbing identically to the sparse path."""
+    from approx_counter_tpu.core.codec import pack_windows_sparse
+    from approx_counter_tpu.pipeline import Engine
+
+    k, sl, n = 6, 31, 64
+    windows = np.full((n, sl + 1), 5, np.uint8)
+    windows[:, :sl] = rng.integers(0, 4, (n, sl))
+    prm = Params(input_file="<mem>", output="/tmp/x", k=k, sl=sl,
+                 limit=20, param_lc=100.0)
+    noisy = windows.copy()
+    pos = rng.integers(0, sl, size=(n, 10))
+    for i in range(n):
+        noisy[i, pos[i]] = 4  # 640 Ns
+    assert pack_windows_sparse(noisy, n, ncap=16) is None  # would fall back
+    eng2 = Engine(prm, use_pallas=False)
+
+    import approx_counter_tpu.core.codec as codec
+
+    orig = codec.pack_windows_sparse
+    try:
+        codec_pws = lambda w, nv, **kw: orig(w, nv, ncap=16)  # noqa: E731
+        import approx_counter_tpu.pipeline as pl_mod
+
+        pl_mod.pack_windows_sparse = codec_pws
+        got = eng2.start_pass(noisy, n).finish()
+    finally:
+        pl_mod.pack_windows_sparse = orig
+    # same batch through the sparse path (default ncap comfortably holds
+    # 640 Ns) must agree byte-for-byte with the dense fallback
+    eng3 = Engine(prm, use_pallas=False)
+    want2 = eng3.start_pass(noisy, n).finish()
+    for a, b in zip(got[:2], want2[:2]):
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+    assert got[2] == want2[2]
+    assert got[2]["had_n"] > 0
