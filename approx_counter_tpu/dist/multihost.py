@@ -246,7 +246,7 @@ def run_pipeline_multihost(prm, log=None) -> int:
                 NamedSharding(mesh, P("data")), wvalid_local
             )
             if resume_codes is not None:
-                sel_hi, sel_lo, sel_valid, rcap = candidates_from_codes(
+                sel_hi, sel_lo, sel_valid, _rcap = candidates_from_codes(
                     resume_codes
                 )
                 dev = get_approx_step()(gw, gv, jnp.asarray(sel_hi),

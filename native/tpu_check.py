@@ -200,35 +200,39 @@ from approx_counter_tpu.oracle import (  # noqa: E402
 from approx_counter_tpu.params import Params  # noqa: E402
 from approx_counter_tpu.pipeline import Engine  # noqa: E402
 
-kf, slf, nf, nvf, limitf = 8, 24, 128, 121, 37
-wf = np.full((nf, slf + 1), BASE_PAD, np.uint8)
-wf[:nvf, :slf] = rng.integers(0, 4, (nvf, slf))
-wf[2] = wf[1]           # count-2 class
-wf[3] = wf[1]           # count-3 class member
-for _ in range(23):     # Ns inside the valid region (had_n + masking)
-    wf[rng.integers(0, nvf), rng.integers(0, slf)] = BASE_N
+# two configs: k <= 16 (single-word codes) and k > 16 (two-word codes --
+# exercises the packed output's sel_hi/approx_hi blocks on hardware)
+for kf, slf, nf, nvf, limitf in ((8, 24, 128, 121, 37),
+                                 (17, 20, 64, 59, 21)):
+    wf = np.full((nf, slf + 1), BASE_PAD, np.uint8)
+    wf[:nvf, :slf] = rng.integers(0, 4, (nvf, slf))
+    wf[2] = wf[1]           # count-2 class
+    wf[3] = wf[1]           # count-3 class member
+    for _ in range(23):     # Ns inside the valid region (had_n + masking)
+        wf[rng.integers(0, nvf), rng.integers(0, slf)] = BASE_N
 
-prmf = Params(input_file="<mem>", output="/tmp/x", k=kf, sl=slf,
-              limit=limitf, param_lc=1.0)
-lcf = adjust_threshold(1.0, 16, kf)
-windows_list = [wf[i, :slf] for i in range(nvf)]
-counter_f, had_n_f = oracle_count_kmers(windows_list, kf, lcf, set())
-sel_f = oracle_get_most_frequent(counter_f, limitf, kf)
-approx_f = oracle_error_count(windows_list, [c for c, _ in sel_f], kf)
-ranked_f = oracle_sort_compare_count(approx_f, kf)[:limitf]
+    prmf = Params(input_file="<mem>", output="/tmp/x", k=kf, sl=slf,
+                  limit=limitf, param_lc=1.0)
+    lcf = adjust_threshold(1.0, 16, kf)
+    windows_list = [wf[i, :slf] for i in range(nvf)]
+    counter_f, had_n_f = oracle_count_kmers(windows_list, kf, lcf, set())
+    sel_f = oracle_get_most_frequent(counter_f, limitf, kf)
+    approx_f = oracle_error_count(windows_list, [c for c, _ in sel_f], kf)
+    ranked_f = oracle_sort_compare_count(approx_f, kf)[:limitf]
 
-engf = Engine(prmf, use_pallas=True)
-for tag, tr, po in (("prod transposed+packed", True, True),
-                    ("fallback dict layout  ", False, False)):
-    engf.transposed, engf.packed_out = tr, po
-    (ec, ecnt), (ac, acnt), stats = engf.start_pass(wf, nvf).finish()
-    ok = (
-        list(zip(ec.tolist(), ecnt.tolist())) == sel_f
-        and list(zip(ac.tolist(), acnt.tolist())) == ranked_f
-        and stats["had_n"] == had_n_f
-    )
-    fails += 0 if ok else 1
-    record(f"fused pass [{tag}] vs oracle: " + ("OK" if ok else "FAIL"))
+    engf = Engine(prmf, use_pallas=True)
+    for tag, tr, po in (("prod transposed+packed", True, True),
+                        ("fallback dict layout  ", False, False)):
+        engf.transposed, engf.packed_out = tr, po
+        (ec, ecnt), (ac, acnt), stats = engf.start_pass(wf, nvf).finish()
+        ok = (
+            list(zip(ec.tolist(), ecnt.tolist())) == sel_f
+            and list(zip(ac.tolist(), acnt.tolist())) == ranked_f
+            and stats["had_n"] == had_n_f
+        )
+        fails += 0 if ok else 1
+        record(f"fused pass k={kf:2d} [{tag}] vs oracle: "
+               + ("OK" if ok else "FAIL"))
 
 verdict = "PASS" if fails == 0 else f"FAIL ({fails})"
 record(f"TPU-CHECK {verdict}")

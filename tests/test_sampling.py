@@ -174,3 +174,24 @@ class TestDistributedSampleWindows:
             row_mult=8,
         )
         assert n_reads == 5 and g_s == 5 and b_start.n_valid == 5
+
+
+def test_distributed_sampler_gzip_shard(tmp_path, rng):
+    """The bottom-k sampler shares iter_read_seqs, so gzip shards work
+    transparently (the multihost per-shard case)."""
+    import gzip
+
+    from approx_counter_tpu.core.codec import codes_to_seq
+    from approx_counter_tpu.dist.sampling import distributed_sample_windows
+
+    sl = 8
+    fa = tmp_path / "r.fasta.gz"
+    with gzip.open(fa, "wt") as f:
+        for i in range(12):
+            f.write(f">r{i}\n{codes_to_seq(rng.integers(0, 4, 30))}\n")
+    b_start, b_end, n_reads, (g_s, g_e) = distributed_sample_windows(
+        [str(fa)], 5, sl, rng=rng, process_count=1, process_index=0,
+        row_mult=8,
+    )
+    assert n_reads == 12 and g_s == g_e == 5
+    assert b_start.n_valid == 5 and b_end.n_valid == 5
