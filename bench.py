@@ -186,6 +186,27 @@ def bench_tpu() -> float:
             p2.finish()
         log(f"pipelined start+end pair: "
             f"{(time.perf_counter() - t0) / 3 * 1e3:.1f} ms/pair")
+        # device-resident chained full pass: the pure device compute of
+        # the whole fused pass (everything above it is the tunnel's
+        # transfer/issue wall -- BASELINE.md round-4 decomposition)
+        from approx_counter_tpu.core.codec import pack_windows_sparse
+
+        fused = eng._fused_fn(512, M, "sparse")
+        devbufs = []
+        for i in range(7):  # 7th is the warm-call spare (time_chained)
+            lo, n_idx, ncols, _ = pack_windows_sparse(wbufs[i], W - 5)
+            n_idx_ext = np.empty(len(n_idx) + 2, np.int32)
+            n_idx_ext[:-2] = n_idx
+            n_idx_ext[-2] = W - 5
+            n_idx_ext[-1] = ncols
+            devbufs.append((jax.device_put(lo), jax.device_put(n_idx_ext)))
+        jax.block_until_ready([d[0] for d in devbufs])
+        tail = eng._tail_dev()
+        dt = time_chained(
+            lambda i: fused(*devbufs[i % len(devbufs)], *tail), 6
+        )
+        log(f"full pass device compute (chained, device-resident): "
+            f"{dt * 1e3:.2f} ms")
     except Exception as e:  # noqa: BLE001
         log(f"full-pass diagnostic unavailable: {e}")
     return pairs_per_s
