@@ -121,13 +121,12 @@ def run_pipeline_multihost(prm, log=None) -> int:
         make_full_step,
     )
     from approx_counter_tpu.dist.sampling import distributed_sample_windows
-    from approx_counter_tpu.io.export import export_counter
     from approx_counter_tpu.io.kmer_list import parse_kmer_list
-    from approx_counter_tpu.io.logging import Log, error, warn
+    from approx_counter_tpu.io.logging import Log, warn
     from approx_counter_tpu.pipeline import (
         candidates_from_codes,
         echo_params,
-        had_n_warning,
+        report_and_export_end,
     )
 
     log = log or Log()
@@ -238,7 +237,12 @@ def run_pipeline_multihost(prm, log=None) -> int:
         # dispatch phase: both ends queue on device before either fetch,
         # so the end pass's compute overlaps the start pass's fetch and
         # host-side export (the multihost analog of _PendingPass)
-        def dispatch(batch, c):
+        limit32 = jnp.int32(min(prm.limit, np.iinfo(np.int32).max))
+
+        def dispatch(batch):
+            """-> a redispatch closure: cap -> device output (the cap is
+            bound at each call, NOT here -- the caller records which cap
+            each in-flight output was built with)."""
             gw = global_windows(batch.windows, mesh)
             wvalid_local = np.zeros(batch.windows.shape[0], bool)
             wvalid_local[: batch.n_valid] = True
@@ -255,14 +259,17 @@ def run_pipeline_multihost(prm, log=None) -> int:
                 return lambda _c: dev
             return lambda c2: get_step(c2)(
                 gw, gv, lc_thr, jnp.asarray(fhi), jnp.asarray(flo),
-                jnp.int32(prm.limit), jnp.int32(prm.solid_km)
+                limit32, jnp.int32(prm.solid_km)
             )
 
         ends = ("start", "end") if runs_end_pass else ("start",)
         pending = {}
         for which_end in ends:
-            redispatch = dispatch(batches[which_end][0], cap)
-            pending[which_end] = (redispatch, redispatch(cap))
+            redispatch = dispatch(batches[which_end][0])
+            # each pending pass carries the cap its arrays were built
+            # with -- checking n_keep against a LATER-grown shared cap
+            # would silently accept truncated results
+            pending[which_end] = (redispatch, redispatch(cap), cap)
 
         tab_level += 1
         for which_end in ("start", "end"):
@@ -284,7 +291,7 @@ def run_pipeline_multihost(prm, log=None) -> int:
             if mr_v > 0:
                 log("Exact k-mer count", tab_level)
             t_count = time.perf_counter()
-            redispatch, dev = pending[which_end]
+            redispatch, dev, dcap = pending[which_end]
             if resume_codes is not None:
                 out = jax.device_get(dev)
                 n_approx = min(int(out["approx_valid"].sum()), prm.limit)
@@ -300,12 +307,13 @@ def run_pipeline_multihost(prm, log=None) -> int:
                 while True:
                     out = jax.device_get(dev)
                     n_keep = int(out["exact"]["n_keep"])
-                    if n_keep <= cap:
+                    if n_keep <= dcap:  # THIS pass's dispatch cap
                         break
                     # solid mode can exceed the cap; every host sees the
                     # same replicated n_keep, so all re-trace identically
-                    cap = round_up(n_keep, 256)
-                    dev = redispatch(cap)
+                    dcap = round_up(n_keep, 256)
+                    cap = max(cap, dcap)  # future dispatches start here
+                    dev = redispatch(dcap)
                 ex = out["exact"]
                 exact_codes = join_code(ex["sel_hi"][:n_keep],
                                         ex["sel_lo"][:n_keep])
@@ -327,42 +335,24 @@ def run_pipeline_multihost(prm, log=None) -> int:
                     f"{pairs / max(t_count, 1e-9):.3g} pairs/s",
                     tab_level,
                 )
-            if is_host0:
-                had_n_warning(stats["had_n"])
-            if mr_v > 0:
-                log(f"Number of kmer found: {stats['n_unique']}", tab_level)
-                log(
-                    "Keeping solid k-mer"
-                    if prm.solid_km
-                    else "Keeping most frequent k-mer",
-                    tab_level,
+            ok = report_and_export_end(
+                prm, log, mr_v, tab_level, run_suffix, which_end, stats,
+                (exact_codes, exact_counts), (approx_codes, approx_counts),
+                resume=resume_codes is not None,
+                do_export=is_host0, do_warn=is_host0,
+            )
+            if pc > 1:
+                # only host 0 can fail an export; every host must take
+                # the SAME return path or the survivors deadlock on the
+                # next collective -- one tiny flag allgather per end
+                from approx_counter_tpu.dist.sampling import _allgather_rows
+
+                ok = not bool(
+                    _allgather_rows(np.array([0 if ok else 1],
+                                             np.int64)).max()
                 )
-                log(f"Number of kmer kept:  {stats['n_keep']}", tab_level)
-
-            if prm.exact_out and resume_codes is None:
-                if mr_v > 0:
-                    log("Exporting exact kmer count", tab_level)
-                if is_host0:
-                    path = prm.exact_out + run_suffix + "." + which_end
-                    if not export_counter(exact_codes, exact_counts,
-                                          prm.k, path):
-                        error("Failed to export exact k-mer count")
-                        sys.stderr.write(f"Path: {path}\n")
-                        return 1
-
-            if mr_v > 0:
-                log("Approximate k-mer count", tab_level)
-                log("Exporting approximate count", tab_level)
-            if is_host0:
-                path = prm.output + run_suffix + "." + which_end
-                if not export_counter(approx_codes, approx_counts, prm.k,
-                                      path):
-                    error("Failed to export approximate k-mer count")
-                    sys.stderr.write(f"Path: {path}\n")
-                    return 1
-
-            if mr_v > 0:
-                log("Done", tab_level)
+            if not ok:
+                return 1
 
             if prm.skip_end:
                 if mr_v > 0:

@@ -70,10 +70,14 @@ class _BottomK:
             self.store[idx] = self._cut(seq)
 
     def _cut(self, seq: np.ndarray) -> np.ndarray:
+        # .copy(), NOT ascontiguousarray: a contiguous slice comes back as
+        # a VIEW that pins the whole source read (on the native parser
+        # path, the whole ~4 MB chunk buffer) -- sn views could retain
+        # gigabytes where the contract is O(sn * sl) resident bytes.
         if self.end:
             # sl+1 bases: the reference off-by-one (:463)
-            return np.ascontiguousarray(seq[len(seq) - 1 - self.sl:])
-        return np.ascontiguousarray(seq[: self.sl])
+            return seq[len(seq) - 1 - self.sl:].copy()
+        return seq[: self.sl].copy()
 
     def items(self) -> tuple[np.ndarray, np.ndarray, list[np.ndarray]]:
         """-> (priorities u64, arrival idx i64, windows), priority-sorted."""

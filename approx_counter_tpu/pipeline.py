@@ -101,6 +101,64 @@ def had_n_warning(had_n: int) -> None:
         )
 
 
+def report_and_export_end(prm, log, mr_v: int, tab_level: int,
+                          run_suffix: str, which_end: str, stats: dict,
+                          exact_sel, approx_sel, resume: bool,
+                          do_export: bool = True,
+                          do_warn: bool = True) -> bool:
+    """Shared per-end tail of the reference main loop
+    (approx_counter.cpp:874-934): had_n warning, selection log lines,
+    exact + approx export.  Used by BOTH the single-host and multihost
+    drivers so their stdout and failure behavior cannot drift.
+
+    Returns True on success; on an export failure the error text has
+    already been written (and the "Done" line suppressed, like the
+    reference's early return) -- the caller maps False to exit code 1
+    (the multihost driver additionally allgathers the flag so every host
+    takes the same return path).  ``do_export``/``do_warn`` are False on
+    non-0 multihost ranks, whose mr_v is muted anyway.
+    """
+    from approx_counter_tpu.io.logging import error
+
+    if do_warn:
+        had_n_warning(stats["had_n"])
+    if mr_v > 0:
+        log(f"Number of kmer found: {stats['n_unique']}", tab_level)
+        log(
+            "Keeping solid k-mer"
+            if prm.solid_km
+            else "Keeping most frequent k-mer",
+            tab_level,
+        )
+        log(f"Number of kmer kept:  {stats['n_keep']}", tab_level)
+
+    exact_codes, exact_counts = exact_sel
+    approx_codes, approx_counts = approx_sel
+    if prm.exact_out and not resume:
+        if mr_v > 0:
+            log("Exporting exact kmer count", tab_level)
+        if do_export:
+            path = prm.exact_out + run_suffix + "." + which_end
+            if not export_counter(exact_codes, exact_counts, prm.k, path):
+                error("Failed to export exact k-mer count")
+                sys.stderr.write(f"Path: {path}\n")
+                return False
+
+    if mr_v > 0:
+        log("Approximate k-mer count", tab_level)
+        log("Exporting approximate count", tab_level)
+    if do_export:
+        path = prm.output + run_suffix + "." + which_end
+        if not export_counter(approx_codes, approx_counts, prm.k, path):
+            error("Failed to export approximate k-mer count")
+            sys.stderr.write(f"Path: {path}\n")
+            return False
+
+    if mr_v > 0:
+        log("Done", tab_level)
+    return True
+
+
 def _pack_pass_output(out, cap: int, k: int):
     """Device-side: flatten the fused pass's output dict into ONE uint32
     vector so the host pays a single fetch round trip instead of ~10
@@ -178,6 +236,10 @@ class _PendingPass:
         self.redispatch = redispatch  # cap -> device dict; kept for the
         #                               (rare) larger-cap re-trace
         self.cap = cap
+        # capture the output format at DISPATCH time: a caller may toggle
+        # the engine switch while this pass is in flight (tpu_check A/Bs
+        # the configs), and finish must decode what was actually built
+        self.packed_out = engine.packed_out
         self.dev = redispatch(cap)
 
     def finish(self):
@@ -187,7 +249,7 @@ class _PendingPass:
         cap, dev = self.cap, self.dev
         while True:
             fetched = jax.device_get(dev)
-            if engine.packed_out:
+            if self.packed_out:
                 out = unpack_pass_output(fetched, cap, engine.prm.k)
             else:
                 out = fetched
@@ -463,6 +525,9 @@ class Engine:
         cap = max(512, _round_up(min(self.prm.limit, 1 << 20), CT))
         n_valid32 = np.int32(n_valid)
         tail = self._tail_dev()
+        # snapshot the engine switches: a later cap-regrowth redispatch
+        # must build the same executable format this pass decodes
+        tr, po = self.transposed, self.packed_out
         if not isinstance(windows, np.ndarray):
             # already device-resident (library embedding): dispatch the
             # raw-batch executable -- np.asarray here would drag the batch
@@ -470,7 +535,7 @@ class Engine:
             m = windows.shape[1]
 
             def redispatch(cap):
-                return self._fused_fn(cap, m, "raw")(
+                return self._fused_fn(cap, m, "raw", packed_out=po)(
                     windows, n_valid32, *tail
                 )
 
@@ -490,7 +555,8 @@ class Engine:
                 n_idx_ext = jax.device_put(n_idx_ext)
 
             def redispatch(cap):
-                return self._fused_fn(cap, m, "sparse")(
+                return self._fused_fn(cap, m, "sparse", transposed=tr,
+                                      packed_out=po)(
                     lo_planes, n_idx_ext, *tail
                 )
 
@@ -500,7 +566,7 @@ class Engine:
                 planes = jax.device_put(planes)
 
             def redispatch(cap):
-                return self._fused_fn(cap, m, "dense")(
+                return self._fused_fn(cap, m, "dense", packed_out=po)(
                     planes, n_valid32, *tail
                 )
 
@@ -746,37 +812,12 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
                     f"{pairs / max(t_count, 1e-9):.3g} pairs/s",
                     tab_level,
                 )
-            had_n_warning(stats["had_n"])
-            if mr_v > 0:
-                log(f"Number of kmer found: {stats['n_unique']}", tab_level)
-                log(
-                    "Keeping solid k-mer"
-                    if prm.solid_km
-                    else "Keeping most frequent k-mer",
-                    tab_level,
-                )
-                log(f"Number of kmer kept:  {stats['n_keep']}", tab_level)
-
-            if prm.exact_out and resume_codes is None:
-                if mr_v > 0:
-                    log("Exporting exact kmer count", tab_level)
-                path = prm.exact_out + run_suffix + "." + which_end
-                if not export_counter(exact_codes, exact_counts, prm.k, path):
-                    error("Failed to export exact k-mer count")
-                    sys.stderr.write(f"Path: {path}\n")
-                    return 1
-
-            if mr_v > 0:
-                log("Approximate k-mer count", tab_level)
-                log("Exporting approximate count", tab_level)
-            path = prm.output + run_suffix + "." + which_end
-            if not export_counter(approx_codes, approx_counts, prm.k, path):
-                error("Failed to export approximate k-mer count")
-                sys.stderr.write(f"Path: {path}\n")
+            if not report_and_export_end(
+                prm, log, mr_v, tab_level, run_suffix, which_end, stats,
+                (exact_codes, exact_counts), (approx_codes, approx_counts),
+                resume=resume_codes is not None,
+            ):
                 return 1
-
-            if mr_v > 0:
-                log("Done", tab_level)
 
             if prm.skip_end:
                 # runs_end_pass is the single source of truth for whether

@@ -291,3 +291,40 @@ class TestDryrunStretch:
         )
         assert r.returncode == 0, r.stderr[-2000:]
         assert "ok" in r.stdout
+
+
+class TestMultihostSolidRegrowth:
+    def test_end_pass_regrows_its_own_cap(self, tmp_path, rng):
+        """Regression (round-4 review): both ends pre-dispatch at the
+        initial cap; when the start pass's regrowth enlarged the SHARED
+        cap, the end pass's stale smaller-cap arrays passed the n_keep
+        check and results were silently truncated.  Solid mode with
+        ~1000 candidates per end forces both passes to regrow."""
+        from approx_counter_tpu.core.codec import codes_to_seq
+        from approx_counter_tpu.dist.multihost import run_pipeline_multihost
+        from approx_counter_tpu.params import Params
+        from approx_counter_tpu.pipeline import run_pipeline
+
+        sl, k = 31, 6
+        fa = tmp_path / "r.fasta"
+        with open(fa, "w") as f:
+            for i in range(40):
+                f.write(f">r{i}\n{codes_to_seq(rng.integers(0, 4, 70))}\n")
+        common = dict(k=k, sl=sl, sn=100, limit=100, solid_km=1,
+                      param_lc=100.0, v=0, seed=3)
+        prm_mh = Params(input_file=str(fa), output=str(tmp_path / "m.txt"),
+                        exact_out=str(tmp_path / "me.txt"),
+                        multihost=True, **common)
+        assert run_pipeline_multihost(prm_mh) == 0
+        prm_s = Params(input_file=str(fa), output=str(tmp_path / "s.txt"),
+                       exact_out=str(tmp_path / "se.txt"),
+                       stream=True, **common)
+        assert run_pipeline(prm_s) == 0
+        for end in ("start", "end"):
+            me = (tmp_path / f"me.txt_0.{end}").read_bytes()
+            se = (tmp_path / f"se.txt_0.{end}").read_bytes()
+            assert me == se, end
+            # the point of the fixture: way more candidates than the cap
+            assert me.count(b"\n") > 512, end
+            assert (tmp_path / f"m.txt_0.{end}").read_bytes() == (
+                tmp_path / f"s.txt_0.{end}").read_bytes(), end
