@@ -39,7 +39,7 @@ from approx_counter_tpu.count.exact import exact_count_select
 from approx_counter_tpu.io.export import export_counter
 from approx_counter_tpu.io.fastx import Reads, read_fastx
 from approx_counter_tpu.io.kmer_list import parse_kmer_list
-from approx_counter_tpu.io.logging import Log, error, warn
+from approx_counter_tpu.io.logging import Log, warn
 from approx_counter_tpu.io.stream import stream_sample_windows
 from approx_counter_tpu.params import Params
 from approx_counter_tpu.sample.sampler import sample_windows
