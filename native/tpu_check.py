@@ -234,6 +234,64 @@ for kf, slf, nf, nvf, limitf in ((8, 24, 128, 121, 37),
         record(f"fused pass k={kf:2d} [{tag}] vs oracle: "
                + ("OK" if ok else "FAIL"))
 
+# ---------------------------------------------------------------------------
+# Mesh full step on hardware: the multihost drivers' jitted program
+# (dist.mesh.make_full_step -- exact via auto-SPMD + BPM via shard_map +
+# psum) on a 1-device mesh of the real chip, against the same oracle.
+# CPU tests cover 1/2/4/8 virtual devices; this pins the Mosaic/XLA-TPU
+# lowering of the shard_map'd production kernel.
+# ---------------------------------------------------------------------------
+import jax.numpy as jnp  # noqa: E402
+
+from approx_counter_tpu.core.complexity import (  # noqa: E402
+    lc_sum_threshold as _lcsum,
+)
+from approx_counter_tpu.dist.mesh import data_mesh, make_full_step  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as Pspec  # noqa: E402
+
+kf, slf, nvf, limitf = 8, 24, 121, 37
+mesh = data_mesh(jax.devices()[:1])
+Wm = 512  # rows padded to the mesh/kernel tile
+wfm = np.full((Wm, slf + 1), BASE_PAD, np.uint8)
+wfm[:nvf, :slf] = rng.integers(0, 4, (nvf, slf))
+wfm[2] = wfm[1]
+wfm[3] = wfm[1]
+for _ in range(23):
+    wfm[rng.integers(0, nvf), rng.integers(0, slf)] = BASE_N
+valid_m = np.zeros(Wm, bool)
+valid_m[:nvf] = True
+step = make_full_step(mesh, kf, cap=512, wt=Wm)
+out_m = step(
+    jax.device_put(jnp.asarray(wfm), NamedSharding(mesh, Pspec("data", None))),
+    jax.device_put(jnp.asarray(valid_m), NamedSharding(mesh, Pspec("data"))),
+    jnp.int32(_lcsum(adjust_threshold(1.0, 16, kf), kf)),
+    jnp.zeros(0, jnp.uint32), jnp.zeros(0, jnp.uint32),
+    jnp.int32(limitf), jnp.int32(0),
+)
+exm = jax.device_get(out_m["exact"])
+n_keep_m = int(exm["n_keep"])
+got_sel = list(zip(
+    join_code(exm["sel_hi"][:n_keep_m], exm["sel_lo"][:n_keep_m]).tolist(),
+    exm["sel_count"][:n_keep_m].tolist(),
+))
+n_am = min(int(np.asarray(out_m["approx_valid"]).sum()), limitf)
+got_rank = list(zip(
+    join_code(np.asarray(out_m["approx_hi"])[:n_am],
+              np.asarray(out_m["approx_lo"])[:n_am]).tolist(),
+    np.asarray(out_m["approx_count"])[:n_am].tolist(),
+))
+# oracle fixtures from the k=8 fused-gate config (first loop iteration
+# above left sel_f/ranked_f at the k=17 values -- recompute for k=8)
+wl8 = [wfm[i, :slf] for i in range(nvf)]
+c8, _ = oracle_count_kmers(wl8, kf, adjust_threshold(1.0, 16, kf), set())
+sel8 = oracle_get_most_frequent(c8, limitf, kf)
+rank8 = oracle_sort_compare_count(
+    oracle_error_count(wl8, [c for c, _ in sel8], kf), kf)[:limitf]
+ok = got_sel == sel8 and got_rank == rank8
+fails += 0 if ok else 1
+record("mesh full step (shard_map+psum) vs oracle: "
+       + ("OK" if ok else "FAIL"))
+
 verdict = "PASS" if fails == 0 else f"FAIL ({fails})"
 record(f"TPU-CHECK {verdict}")
 with open(OUT, "w") as f:
