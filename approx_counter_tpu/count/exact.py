@@ -64,7 +64,13 @@ def _topk_global(x_i32, cap: int):
     row-major-first instead of the flat call's global-index-first -- the
     caller (_topk_rank) is insensitive to which class members represent a
     tied *value* (see its coverage argument).  Falls back to the flat
-    call when the reshape doesn't divide."""
+    call when the reshape doesn't divide.
+
+    Measured alternative that does NOT work (native/topk_probe4.py, r4):
+    lax.approx_max_k on order-preserving float32 bitcasts is slower at
+    recall_target=1.0 (7.09 ms vs 4.68 here at P=3.5M) AND inexact on
+    tie-heavy/monotone inputs (512/512 wrong) -- byte parity forbids it
+    at any setting."""
     P = x_i32.shape[0]
     R = 256
     while R > 1 and (P % R or P // R < cap):
