@@ -135,14 +135,81 @@ def one_config(rng, tmp, idx):
     return dict(k=k, sl=sl, n=n_reads, lim=limit, sk=solid_km, me=maxerr)
 
 
+def one_mode_config(rng, tmp, idx):
+    """Driver-mode coverage: --stream / -mr / --from-exact / skip_end /
+    compat-quirks combinations must all agree with the plain run (same
+    seed, identity sampling) or with the oracle."""
+    k = int(rng.integers(4, 17))
+    sl = int(rng.integers(k, 2 * k + 10))
+    n_reads = int(rng.integers(6, 20))
+    limit = int(rng.integers(2, 25))
+    seed = int(rng.integers(0, 1 << 30))
+    reads = [
+        codes_to_seq(rng.integers(0, 4, int(rng.integers(2 * sl,
+                                                         2 * sl + 20)))
+                     .astype(np.uint8))
+        for _ in range(n_reads)
+    ]
+    fa = os.path.join(tmp, f"m{idx}.fasta")
+    with open(fa, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+    base = dict(input_file=fa, k=k, sl=sl, sn=n_reads + 3, limit=limit,
+                v=0, seed=seed)
+
+    out0 = os.path.join(tmp, f"mo{idx}.txt")
+    ex0 = os.path.join(tmp, f"me{idx}.txt")
+    assert run_pipeline(Params(output=out0, exact_out=ex0, **base)) == 0
+
+    # --stream must be byte-identical at identity sampling
+    out1 = os.path.join(tmp, f"ms{idx}.txt")
+    assert run_pipeline(Params(output=out1, stream=True, **base)) == 0
+    for end in ("start", "end"):
+        assert (open(out1 + f"_0.{end}").read()
+                == open(out0 + f"_0.{end}").read()), ("stream", end)
+
+    # -mr 2: run 1 equals the single run at identity sampling (the
+    # sampled set is the whole eligible set every run)
+    out2 = os.path.join(tmp, f"mm{idx}.txt")
+    prm2 = Params(output=out2, **base)
+    prm2.nb_of_runs = 2
+    assert run_pipeline(prm2) == 0
+    for run in (0, 1):
+        assert (open(out2 + f"_{run}.start").read()
+                == open(out0 + "_0.start").read()), ("mr", run)
+
+    # --from-exact resume reproduces the approx ranking
+    out3 = os.path.join(tmp, f"mf{idx}.txt")
+    prm3 = Params(output=out3, from_exact=ex0 + "_0.start", **base)
+    assert run_pipeline(prm3) == 0
+    assert (open(out3 + "_0.start").read()
+            == open(out0 + "_0.start").read()), "from-exact"
+
+    # skip_end: no .end file; with compat-quirks + v0 the bug runs it
+    out4 = os.path.join(tmp, f"mk{idx}.txt")
+    prm4 = Params(output=out4, skip_end=True, **base)
+    assert run_pipeline(prm4) == 0
+    assert not os.path.exists(out4 + "_0.end")
+    out5 = os.path.join(tmp, f"mq{idx}.txt")
+    prm5 = Params(output=out5, skip_end=True, compat_quirks=True, **base)
+    assert run_pipeline(prm5) == 0
+    assert os.path.exists(out5 + "_0.end")
+    return dict(k=k, sl=sl, n=n_reads, lim=limit)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+    n_modes = int(sys.argv[2]) if len(sys.argv) > 2 else max(2, n // 6)
     rng = np.random.default_rng(20260821)
     with tempfile.TemporaryDirectory() as tmp:
         for i in range(n):
             cfg = one_config(rng, tmp, i)
             print(f"[fuzz] config {i + 1}/{n} OK: {cfg}", flush=True)
-    print(f"[fuzz] ALL {n} CONFIGS BYTE-EXACT vs oracle")
+        for i in range(n_modes):
+            cfg = one_mode_config(rng, tmp, 1000 + i)
+            print(f"[fuzz] mode config {i + 1}/{n_modes} OK: {cfg}",
+                  flush=True)
+    print(f"[fuzz] ALL {n} CONFIGS + {n_modes} MODE CONFIGS BYTE-EXACT")
 
 
 if __name__ == "__main__":
