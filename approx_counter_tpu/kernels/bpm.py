@@ -35,10 +35,10 @@ Performance (TPU v5e, k=16, m=101/104, 512x40960 pairs): unpacked Myers
 ~27 ms/call = 0.77 Gpairs/s; SWAR packed-pair Myers ~10.4 ms = 2.0
 Gpairs/s; mask-free packed-pair level-NFA 2.4-2.8 Gpairs/s at maxerr=2;
 the **candidate-bit-sliced level-NFA** (_nfa_kernel_sliced) is the
-production kernel.  Canonical number: **4.75 Gpairs/s** at maxerr=2,
+production kernel.  Canonical number: **4.88 Gpairs/s** at maxerr=2,
 ctw=8/wt=256 -- the latest driver-captured bench.py figure
-(BENCH_r03.json, 804x the 4-thread C++ stand-in; per-round history:
-r1 2.25 -> r2 4.56 -> r3 4.75).  Per-process measurements range 3.7-4.8
+(BENCH_r04.json, 744x the 4-thread C++ stand-in; per-round history:
+r1 2.25 -> r2 4.56 -> r3 4.75 -> r4 4.88).  Per-process measurements range 3.7-4.9
 Gpairs/s (absolute throughput drifts ~15-25% between processes on this
 remote stack -- only trust interleaved A/B *ratios*, which are stable:
 +55%/+33%/+39%/+59% over the packed NFA at maxerr 2/0/1/3, with 5.6 /
