@@ -206,9 +206,14 @@ def run_pipeline_multihost(prm, log=None) -> int:
 
     sn = prm.sn
     # reference skip_end bug gate: same flag on every host (prm.mr_v, not
-    # the host-muted mr_v -- hosts must run identical collectives)
+    # the host-muted mr_v -- hosts must run identical collectives).  The
+    # faithful bug (approx_counter.cpp:943-953): the muted break never
+    # fires AND `bottom = true` (in the else of if(skip_end)) never
+    # executes, so the second pass re-samples the START and exports it
+    # under `.end`.
     runs_end_pass = (not prm.skip_end) or (prm.compat_quirks and
                                            prm.mr_v == 0)
+    quirk_end_is_start = prm.skip_end and runs_end_pass
 
     for current_run in range(prm.nb_of_runs):
         run_suffix = f"_{current_run}"
@@ -221,6 +226,7 @@ def run_pipeline_multihost(prm, log=None) -> int:
         b_start, b_end, n_reads, g_counts = distributed_sample_windows(
             my_paths, sn, prm.sl, rng=rng, process_count=pc,
             process_index=pi, row_mult=wt * n_local_dev,
+            end_is_start=quirk_end_is_start,
         )
         t_stream = time.perf_counter() - t_stream
         batches = {"start": (b_start, g_counts[0]),
@@ -273,7 +279,7 @@ def run_pipeline_multihost(prm, log=None) -> int:
 
         tab_level += 1
         for which_end in ("start", "end"):
-            bottom = which_end == "end"
+            bottom = which_end == "end" and not quirk_end_is_start
             if v > 0:
                 log(f"Working on sequence {which_end}.", tab_level - 1)
             if mr_v > 0:

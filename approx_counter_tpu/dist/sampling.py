@@ -159,9 +159,12 @@ def distributed_sample_windows(
     process_index: int,
     row_mult: int = 8,
     chunk_size: int = 1 << 22,
+    end_is_start: bool = False,
 ):
     """One streaming pass over this host's shard -> globally-uniform
-    start/end samples.
+    start/end samples.  ``end_is_start``: the second sample draws START
+    windows again (--compat-quirks skip_end bug: the reference's second
+    pass runs with ``bottom == false``, approx_counter.cpp:943-953).
 
     Returns (start WindowBatch, end WindowBatch, n_reads_global,
     (g_start, g_end)) where both batches are padded to ``w_local`` rows
@@ -172,7 +175,7 @@ def distributed_sample_windows(
     sequences" log line reports.
     """
     bk_start = _BottomK(sn, sl, end=False, rng=rng)
-    bk_end = _BottomK(sn, sl, end=True, rng=rng)
+    bk_end = _BottomK(sn, sl, end=not end_is_start, rng=rng)
     n_reads = 0
     for seq in iter_read_seqs(paths, chunk_size):
         n_reads += 1

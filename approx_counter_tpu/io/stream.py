@@ -222,20 +222,24 @@ def stream_sample_windows(
     pad_to: int = 8,
     chunk_size: int = 1 << 22,
     pad_rows_to: int | None = None,
+    end_is_start: bool = False,
 ):
     """One streaming pass -> (start WindowBatch, end WindowBatch, n_reads).
 
     ``path`` may be a list of files (concatenated stream -- the multi-host
     per-shard case).  Bounded memory: O(sn * sl) plus one IO chunk.
     ``pad_rows_to`` forces an exact row count (multi-host: equal local
-    shapes across hosts).
+    shapes across hosts).  ``end_is_start``: the second reservoir samples
+    the START again (an independent draw) -- the ``--compat-quirks``
+    skip_end bug, where the reference's second pass runs with
+    ``bottom == false`` (approx_counter.cpp:943-953).
     """
     if rng is None:
         rng = np.random.default_rng()
     # Independent reservoirs, independent streams like the reference's two
     # separate shuffles.
     r_start = _Reservoir(sn, sl, end=False, rng=rng)
-    r_end = _Reservoir(sn, sl, end=True, rng=rng)
+    r_end = _Reservoir(sn, sl, end=not end_is_start, rng=rng)
     n_reads = 0
     for seq in iter_read_seqs(path, chunk_size):
         n_reads += 1

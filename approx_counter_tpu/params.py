@@ -8,9 +8,13 @@ code (sn 10k vs 40000, lc 1.5 vs 1.0); the code values are authoritative.
 Framework extensions (documented, absent from the reference):
   * ``seed``      -- deterministic sampling; None reproduces the reference's
                      OS-entropy nondeterminism (approx_counter.cpp:427-429).
-  * ``compat_quirks`` -- when True, reproduce the reference's skip_end+v==0
-                     bug (the break at approx_counter.cpp:943-948 sits inside
-                     ``if(mr_v>0)`` so muted runs process the end anyway).
+  * ``compat_quirks`` -- when True, reproduce the reference's skip_end+muted
+                     verbosity bug faithfully: the break at
+                     approx_counter.cpp:943-948 sits inside ``if(mr_v>0)``
+                     AND ``bottom = true`` sits in the *else* of
+                     ``if(skip_end)`` (:950-952), so a muted ``-se`` run does
+                     a second pass that RE-SAMPLES THE START (fresh shuffle,
+                     sl-base prefix windows) and exports it under ``.end``.
 """
 
 from __future__ import annotations

@@ -10,8 +10,13 @@ export.  File naming reproduces the reference exactly: outputs always get a
 runs/ends (quirk 4, :844-848).
 
 skip_end: the reference's break sits inside ``if(mr_v>0)``
-(approx_counter.cpp:943-948) so muted runs process the end anyway; we
-implement the *intended* skip unless ``compat_quirks`` asks for the bug.
+(approx_counter.cpp:943-948) so muted runs process the end anyway -- AND
+``bottom = true`` sits in the *else* of ``if(skip_end)`` (:950-952), so
+that second pass runs with ``bottom == false``: it RE-SAMPLES THE START
+(fresh shuffle, sl-base prefix windows) and exports those counts under
+``.end``.  We implement the *intended* skip unless ``compat_quirks`` asks
+for the bug, in which case both halves are reproduced faithfully (at
+identity sampling the quirk ``.end`` export byte-equals ``.start``).
 """
 
 from __future__ import annotations
@@ -674,6 +679,11 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
     runs_end_pass = (not prm.skip_end) or (
         prm.compat_quirks and mr_v == 0  # reference skip_end bug
     )
+    # The faithful bug (approx_counter.cpp:943-953): when the muted break
+    # fails to fire, `bottom = true` in the else of if(skip_end) ALSO never
+    # executes -- the second pass samples the START again (fresh shuffle,
+    # sl-base prefix windows) and its counts are exported under `.end`.
+    quirk_end_is_start = prm.skip_end and runs_end_pass
 
     def next_pass_key(run: int, which_end: str):
         if which_end == "start" and runs_end_pass:
@@ -696,7 +706,8 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
             if mr_v > 0:
                 log("Streaming pass (reservoir sampling both ends)", tab_level)
             b_start, b_end, n_reads = stream_sample_windows(
-                prm.input_file, sn, prm.sl, rng=rng, pad_to=WT
+                prm.input_file, sn, prm.sl, rng=rng, pad_to=WT,
+                end_is_start=quirk_end_is_start,
             )
             stream_batches = {"start": b_start, "end": b_end}
             if v > 0 and current_run == 0:
@@ -711,7 +722,7 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
 
         tab_level += 1
         for which_end in ("start", "end"):
-            bottom = which_end == "end"
+            bottom = which_end == "end" and not quirk_end_is_start
             if v > 0:
                 log(f"Working on sequence {which_end}.", tab_level - 1)
             if mr_v > 0:
@@ -776,8 +787,9 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
                         batch2 = stream_batches[nxt[1]]
                     else:
                         batch2 = sample_windows(
-                            reads, sn, prm.sl, end=nxt[1] == "end", rng=rng,
-                            pad_to=WT,
+                            reads, sn, prm.sl,
+                            end=nxt[1] == "end" and not quirk_end_is_start,
+                            rng=rng, pad_to=WT,
                         )
                     t_s2 = time.perf_counter() - t_s2
                     prefetched = (

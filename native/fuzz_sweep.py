@@ -193,7 +193,13 @@ def one_mode_config(rng, tmp, idx):
     out5 = os.path.join(tmp, f"mq{idx}.txt")
     prm5 = Params(output=out5, skip_end=True, compat_quirks=True, **base)
     assert run_pipeline(prm5) == 0
-    assert os.path.exists(out5 + "_0.end")
+    # the faithful bug re-samples the START for the second pass
+    # (approx_counter.cpp:943-953); at identity sampling (sn > n_reads)
+    # that start re-sample is the same set, so .end byte-equals .start
+    assert (open(out5 + "_0.end").read()
+            == open(out5 + "_0.start").read()), "quirk end==start"
+    assert (open(out5 + "_0.start").read()
+            == open(out0 + "_0.start").read()), "quirk start"
     return dict(k=k, sl=sl, n=n_reads, lim=limit)
 
 

@@ -229,13 +229,16 @@ class TestMultihostPipeline:
         assert (tmp_path / "a.txt_0.start").exists()
         assert not (tmp_path / "a.txt_0.end").exists()
 
-        # compat-quirks + muted verbosity: the reference bug processes the
-        # end anyway (approx_counter.cpp:943-948)
+        # compat-quirks + muted verbosity: the reference bug runs a second
+        # pass with bottom == false -- a START re-sample exported under
+        # `.end` (approx_counter.cpp:943-953).  At identity sampling the
+        # re-sample is the same set, so `.end` byte-equals `.start`.
         prm = Params(input_file=str(fa), output=str(tmp_path / "b.txt"),
                      k=k, sl=sl, sn=100, limit=10, v=0, seed=1,
                      skip_end=True, compat_quirks=True, multihost=True)
         assert run_pipeline_multihost(prm) == 0
-        assert (tmp_path / "b.txt_0.end").exists()
+        assert ((tmp_path / "b.txt_0.end").read_text()
+                == (tmp_path / "b.txt_0.start").read_text())
 
         # --from-exact resume: candidates from a prior exact export
         prm = Params(input_file=str(fa), output=str(tmp_path / "c.txt"),

@@ -54,8 +54,11 @@ def test_all_reads_ineligible(tmp_path, rng):
 
 
 def test_compat_quirks_skip_end_bug(tmp_path, rng):
-    # With --compat-quirks and muted verbosity, -se still processes the end
-    # (reference bug, approx_counter.cpp:943-948).
+    # With --compat-quirks and muted verbosity, -se still runs a second
+    # pass -- but the faithful bug (approx_counter.cpp:943-953) runs it
+    # with bottom == false: it RE-SAMPLES THE START and exports those
+    # counts under `.end`.  At identity sampling (sn > n_reads) the start
+    # re-sample is the same read set, so `.end` must byte-equal `.start`.
     sl = 8
     seqs = [codes_to_seq(rng.integers(0, 4, 3 * sl)) for _ in range(5)]
     fa = tmp_path / "x.fasta"
@@ -67,6 +70,64 @@ def test_compat_quirks_skip_end_bug(tmp_path, rng):
                      compat_quirks=quirks)
         assert run_pipeline(prm) == 0
         assert os.path.exists(f"{out}_0.end") == expect_end
+    start = (tmp_path / "o1.txt_0.start").read_text()
+    end = (tmp_path / "o1.txt_0.end").read_text()
+    assert end == start
+    # ... and it must NOT be a genuine end pass: suffix windows are sl+1
+    # bases with different content, which differs on this fixture
+    prm = Params(input_file=str(fa), output=str(tmp_path / "g.txt"),
+                 k=4, sl=sl, sn=10, limit=5, v=0, seed=0)
+    assert run_pipeline(prm) == 0
+    genuine_end = (tmp_path / "g.txt_0.end").read_text()
+    assert genuine_end != end
+
+
+def test_compat_quirks_stream_end_is_start(tmp_path, rng):
+    """--stream + --compat-quirks: the second reservoir samples starts
+    (io/stream.py end_is_start); byte-equal at identity sampling."""
+    sl = 8
+    seqs = [codes_to_seq(rng.integers(0, 4, 3 * sl)) for _ in range(6)]
+    fa = tmp_path / "x.fasta"
+    _fasta(fa, seqs)
+    prm = Params(input_file=str(fa), output=str(tmp_path / "o.txt"),
+                 k=4, sl=sl, sn=10, limit=5, v=0, seed=0, skip_end=True,
+                 compat_quirks=True, stream=True)
+    assert run_pipeline(prm) == 0
+    assert ((tmp_path / "o.txt_0.end").read_text()
+            == (tmp_path / "o.txt_0.start").read_text())
+
+
+def test_compat_quirks_end_is_resampled_start(tmp_path, rng):
+    """Sub-identity sampling: the quirk `.end` equals the counts of a
+    SECOND seeded start draw (the continued rng stream), not the first
+    start sample and not an end sample (approx_counter.cpp:943-953)."""
+    from approx_counter_tpu.io.export import export_counter
+    from approx_counter_tpu.io.fastx import read_fastx
+    from approx_counter_tpu.sample.sampler import sample_windows
+
+    sl, k, sn, seed = 10, 5, 4, 7
+    seqs = [codes_to_seq(rng.integers(0, 4, 3 * sl)) for _ in range(12)]
+    fa = tmp_path / "x.fasta"
+    _fasta(fa, seqs)
+    prm = Params(input_file=str(fa), output=str(tmp_path / "o.txt"),
+                 k=k, sl=sl, sn=sn, limit=8, v=0, seed=seed,
+                 skip_end=True, compat_quirks=True)
+    assert run_pipeline(prm) == 0
+
+    # replicate the driver's rng consumption: first start draw, then the
+    # quirk pass's SECOND start draw
+    reads = read_fastx(str(fa))
+    rng2 = np.random.default_rng(seed)
+    sample_windows(reads, sn, sl, end=False, rng=rng2, pad_to=256)
+    batch2 = sample_windows(reads, sn, sl, end=False, rng=rng2, pad_to=256)
+    eng = Engine(prm)
+    (_, _), (a_codes, a_counts), _ = eng.count_one_end(
+        batch2.windows, batch2.n_valid
+    )
+    want = tmp_path / "want.txt"
+    assert export_counter(a_codes, a_counts, k, str(want))
+    assert ((tmp_path / "o.txt_0.end").read_text()
+            == want.read_text())
 
 
 def test_solid_mode_cap_regrowth(tmp_path, rng):
