@@ -226,7 +226,7 @@ def run_pipeline_multihost(prm, log=None) -> int:
         b_start, b_end, n_reads, g_counts = distributed_sample_windows(
             my_paths, sn, prm.sl, rng=rng, process_count=pc,
             process_index=pi, row_mult=wt * n_local_dev,
-            end_is_start=quirk_end_is_start,
+            end_is_start=quirk_end_is_start, v=mr_v,
         )
         t_stream = time.perf_counter() - t_stream
         batches = {"start": (b_start, g_counts[0]),

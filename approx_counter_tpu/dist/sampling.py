@@ -160,11 +160,15 @@ def distributed_sample_windows(
     row_mult: int = 8,
     chunk_size: int = 1 << 22,
     end_is_start: bool = False,
+    v: int = 0,
 ):
     """One streaming pass over this host's shard -> globally-uniform
     start/end samples.  ``end_is_start``: the second sample draws START
     windows again (--compat-quirks skip_end bug: the reference's second
     pass runs with ``bottom == false``, approx_counter.cpp:943-953).
+    ``v >= 2``: per-read short-read stderr warning
+    (approx_counter.cpp:449-457), read id = this host's shard-stream
+    ordinal (host 0 only in the multihost driver, COMPAT M3).
 
     Returns (start WindowBatch, end WindowBatch, n_reads_global,
     (g_start, g_end)) where both batches are padded to ``w_local`` rows
@@ -180,6 +184,11 @@ def distributed_sample_windows(
     for seq in iter_read_seqs(paths, chunk_size):
         n_reads += 1
         if len(seq) < 2 * sl:
+            if v >= 2 and len(seq) < sl:
+                from approx_counter_tpu.io.logging import warn
+
+                warn("Cut size is longer that current read! "
+                     f"(read id: {n_reads - 1}).")
             continue  # eligibility, approx_counter.cpp:461
         bk_start.offer(seq)
         bk_end.offer(seq)

@@ -223,6 +223,7 @@ def stream_sample_windows(
     chunk_size: int = 1 << 22,
     pad_rows_to: int | None = None,
     end_is_start: bool = False,
+    v: int = 0,
 ):
     """One streaming pass -> (start WindowBatch, end WindowBatch, n_reads).
 
@@ -232,7 +233,10 @@ def stream_sample_windows(
     shapes across hosts).  ``end_is_start``: the second reservoir samples
     the START again (an independent draw) -- the ``--compat-quirks``
     skip_end bug, where the reference's second pass runs with
-    ``bottom == false`` (approx_counter.cpp:943-953).
+    ``bottom == false`` (approx_counter.cpp:943-953).  ``v >= 2``: the
+    per-read short-read stderr warning (approx_counter.cpp:449-457),
+    read id = stream ordinal (the streaming analog of the reference's
+    walked index; every read is walked here).
     """
     if rng is None:
         rng = np.random.default_rng()
@@ -244,6 +248,11 @@ def stream_sample_windows(
     for seq in iter_read_seqs(path, chunk_size):
         n_reads += 1
         if len(seq) < 2 * sl:
+            if v >= 2 and len(seq) < sl:
+                from approx_counter_tpu.io.logging import warn
+
+                warn("Cut size is longer that current read! "
+                     f"(read id: {n_reads - 1}).")
             continue  # eligibility, approx_counter.cpp:461
         r_start.offer(seq)
         r_end.offer(seq)

@@ -151,6 +151,15 @@ def report_and_export_end(prm, log, mr_v: int, tab_level: int,
 
     if mr_v > 0:
         log("Approximate k-mer count", tab_level)
+        # errorCount's three stage lines (approx_counter.cpp:536-549),
+        # printed at the same tab level between the count announcement and
+        # the export line.  The labels name reference stages; the
+        # tpu-native equivalents are: "Preparing index" = candidate Peq
+        # bitmask table build, "Creating index" = fused-pass device
+        # dispatch, "Starting approximate counting" = kernel execution.
+        log("Preparing index", tab_level)
+        log("Creating index", tab_level)
+        log("Starting approximate counting", tab_level)
         log("Exporting approximate count", tab_level)
     if do_export:
         path = prm.output + run_suffix + "." + which_end
@@ -694,7 +703,7 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
             return (run + 1, "start")
         return None
 
-    prefetched = None  # (key, batch, t_sample, pending _PendingPass)
+    prefetched = None  # (key, batch, t_sample, pending, warn_msgs)
 
     for current_run in range(prm.nb_of_runs):
         run_suffix = f"_{current_run}"
@@ -707,7 +716,7 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
                 log("Streaming pass (reservoir sampling both ends)", tab_level)
             b_start, b_end, n_reads = stream_sample_windows(
                 prm.input_file, sn, prm.sl, rng=rng, pad_to=WT,
-                end_is_start=quirk_end_is_start,
+                end_is_start=quirk_end_is_start, v=mr_v,
             )
             stream_batches = {"start": b_start, "end": b_end}
             if v > 0 and current_run == 0:
@@ -738,16 +747,19 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
             from_prefetch = False
             if prefetched is not None and prefetched[0] == (current_run,
                                                            which_end):
-                _, batch, t_sample, pending = prefetched
+                _, batch, t_sample, pending, warn_msgs = prefetched
                 prefetched = None
                 from_prefetch = True
+                for msg in warn_msgs:  # deferred short-read warnings
+                    warn(msg)          # (sampled early by the prefetcher)
             else:
                 t_sample = time.perf_counter()
                 if stream_batches is not None:
                     batch = stream_batches[which_end]
                 else:
                     batch = sample_windows(
-                        reads, sn, prm.sl, end=bottom, rng=rng, pad_to=WT
+                        reads, sn, prm.sl, end=bottom, rng=rng, pad_to=WT,
+                        v=mr_v,
                     )
                 t_sample = time.perf_counter() - t_sample
             if mr_v > 0:
@@ -783,13 +795,15 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
                     # a pass is in flight: overlap the next pass's
                     # sample + pack + H2D + dispatch with it
                     t_s2 = time.perf_counter()
+                    warn_msgs2: list = []
                     if stream_batches is not None and nxt[0] == current_run:
                         batch2 = stream_batches[nxt[1]]
                     else:
                         batch2 = sample_windows(
                             reads, sn, prm.sl,
                             end=nxt[1] == "end" and not quirk_end_is_start,
-                            rng=rng, pad_to=WT,
+                            rng=rng, pad_to=WT, v=mr_v,
+                            warn_sink=warn_msgs2,
                         )
                     t_s2 = time.perf_counter() - t_s2
                     prefetched = (
@@ -799,6 +813,7 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
                         engine.start_pass(
                             batch2.windows, batch2.n_valid, prefetch=True
                         ),
+                        warn_msgs2,
                     )
                 if pending is not None:
                     (

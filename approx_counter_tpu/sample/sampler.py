@@ -58,10 +58,18 @@ def sample_windows(
     rng: np.random.Generator | None = None,
     order: np.ndarray | None = None,
     pad_to: int = 8,
+    v: int = 0,
+    warn_sink: list | None = None,
 ) -> WindowBatch:
     """Sample up to ``sn`` windows of the read starts (or ends).
 
     ``order`` overrides the shuffle with an explicit index order (tests).
+    ``v`` is the reference's ``mr_v`` passed into ``sampleSequences``: at
+    ``v >= 2`` every *walked* read shorter than ``sl`` emits the per-read
+    stderr warning (approx_counter.cpp:449-457) in walk order.
+    ``warn_sink``: collect those warning texts instead of emitting (the
+    pipelined driver samples the NEXT pass early and flushes its warnings
+    at the reference's point in the log sequence).
     """
     n_reads = len(reads)
     if order is None:
@@ -73,9 +81,32 @@ def sample_windows(
     ncols = sl + 1 if end else sl  # real bases per window
 
     # Eligibility (:461) preserved in shuffled order, truncated to sn.
-    eligible = order[lengths[order] >= 2 * sl]
+    lens_walk = lengths[order]
+    eligible = order[lens_walk >= 2 * sl]
     chosen = eligible[:sn]
     n_valid = len(chosen)
+
+    if v >= 2:
+        # The reference walks the shuffled order until sn eligible reads
+        # are collected; every walked read with len < sl (min(len, sl)
+        # shortens the cut) warns to stderr (:449-457) -- including
+        # ineligible reads, which consume walk steps but never sample.
+        from approx_counter_tpu.io.logging import warn
+
+        if sn <= 0:
+            walk_end = 0
+        else:
+            cum = np.cumsum(lens_walk >= 2 * sl)
+            if len(cum) and cum[-1] >= sn:
+                walk_end = int(np.argmax(cum == sn)) + 1
+            else:
+                walk_end = n_reads
+        for sid in order[:walk_end][lens_walk[:walk_end] < sl]:
+            msg = f"Cut size is longer that current read! (read id: {sid})."
+            if warn_sink is not None:
+                warn_sink.append(msg)
+            else:
+                warn(msg)
 
     n_pad = max(_round_up(n_valid, pad_to), pad_to)
     windows = np.full((n_pad, width), BASE_PAD, dtype=np.uint8)
