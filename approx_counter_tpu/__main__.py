@@ -61,6 +61,14 @@ def main(argv: list[str] | None = None) -> int:
     except FileNotFoundError as e:
         sys.stderr.write(f"/!\\ ERROR: COULD NOT OPEN FILE {e.args[0]}\n")
         return 1
+    except ValueError as e:
+        # Malformed input contract (COMPAT #19): parser errors (truncated
+        # FASTQ, quality-length mismatch, unrecognized format) exit 1 with
+        # the /!\ prefix.  The reference lets SeqAn's throw escape main ->
+        # std::terminate with a platform-defined status; a clean error is
+        # a strict refinement (same family as COMPAT #16).
+        sys.stderr.write(f"/!\\ ERROR: {e}\n")
+        return 1
 
 
 if __name__ == "__main__":

@@ -92,3 +92,34 @@ def test_validate_contract():
     prm = resolve_params(["i", "-k", "16", "-sl", "10"])
     with pytest.raises(ValueError, match="k <= sl"):
         prm.validate()
+
+
+def test_malformed_input_exit_contract(tmp_path, capsys):
+    """Malformed input exits 1 with the /!\\ ERROR prefix (COMPAT #19);
+    the reference's SeqAn throw escapes main -> terminate, so a clean
+    exit-1 is a strict refinement.  Covers: garbage first byte, truncated
+    FASTQ record, quality-length mismatch -- in bulk and --stream modes."""
+    from approx_counter_tpu.__main__ import main
+
+    # (name, content, raises-in-stream-mode): the streaming parsers
+    # (Python and native, matched EOF semantics) deliberately close a
+    # truncated-at-EOF record instead of raising (chunk-boundary design,
+    # COMPAT #17/#19) -- bulk mode is strict like SeqAn's readRecords.
+    cases = [
+        ("garbage.txt", "not a fasta at all\njust text\n", True),
+        ("trunc.fastq", "@r1\nACGTACGT\n", False),  # no '+', no quality
+        ("qmis.fastq", "@r1\nACGTACGT\n+\nII\n@r2\nACGT\n+\nIIII\n", True),
+    ]
+    for name, content, stream_raises in cases:
+        path = tmp_path / name
+        path.write_text(content)
+        for extra in ([], ["--stream"]):
+            rc = main([str(path), "-o", str(tmp_path / "o.txt"),
+                       "-k", "4", "-sl", "4", "-sn", "5", "-v", "0"]
+                      + extra)
+            err = capsys.readouterr().err
+            if extra and not stream_raises:
+                assert rc == 0, (name, extra, err)
+            else:
+                assert rc == 1, (name, extra)
+                assert "/!\\ ERROR: " in err, (name, extra, err)
