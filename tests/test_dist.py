@@ -331,3 +331,89 @@ class TestMultihostSolidRegrowth:
             assert me.count(b"\n") > 512, end
             assert (tmp_path / f"m.txt_0.{end}").read_bytes() == (
                 tmp_path / f"s.txt_0.{end}").read_bytes(), end
+
+
+class TestDryrunDifferentialGate:
+    """dryrun_multichip is a differential gate (round-4 verdict #5): the
+    n-device mesh output must byte-equal a 1-device run.  The negative
+    case proves a deliberately-broken psum (double allreduce => counts
+    multiplied by the device count) FAILS the comparison that the old
+    bounds checks (n_keep > 0, count <= 3*W_valid on small fixtures)
+    could let through."""
+
+    def test_dryrun_differential_passes(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(len(jax.devices()))
+
+    def test_broken_psum_fails_gate(self):
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        import __graft_entry__ as g
+        from approx_counter_tpu.core.complexity import lc_sum_threshold
+        from approx_counter_tpu.count.approx import rank_with_zero_counts
+        from approx_counter_tpu.count.exact import exact_count_select_rows
+        from approx_counter_tpu.dist.mesh import data_mesh, make_full_step
+        from approx_counter_tpu.kernels.bpm import approx_counts, build_peq
+
+        n = len(jax.devices())
+        k, cap, m = 8, 64, 24
+        W = 16 * n
+        rng = np.random.default_rng(1)
+        windows = rng.integers(0, 4, (W, m)).astype(np.uint8)
+        wvalid = np.ones(W, bool)
+        wvalid[-3:] = False
+        mesh = data_mesh()
+        axis = "data"
+
+        def broken_counts(peq, windows_t, window_valid):
+            def shard_fn(peq_rep, wt_shard, wv_shard):
+                counts = approx_counts(peq_rep, wt_shard, wv_shard, k,
+                                       use_pallas=False)
+                # BROKEN: psum twice -- the merged total is re-summed
+                # across devices, multiplying every count by n
+                return jax.lax.psum(jax.lax.psum(counts, axis), axis)
+
+            return jax.shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(), P(None, axis), P(axis)), out_specs=P(),
+                check_vma=False,
+            )(peq, windows_t, window_valid)
+
+        @jax.jit
+        def broken_step(w, wv, lc_thr, fhi, flo, limit, solid_km):
+            out = exact_count_select_rows(
+                w, wv, k, lc_thr, fhi, flo, limit, solid_km, cap=cap,
+                n_forbidden=0, use_solid=False,
+            )
+            peq = build_peq(out["sel_hi"], out["sel_lo"], k)
+            counts = broken_counts(peq, jnp.transpose(w, (1, 0)), wv)
+            a_hi, a_lo, a_cnt, a_val = rank_with_zero_counts(
+                out["sel_hi"], out["sel_lo"], counts, out["sel_valid"], k
+            )
+            return dict(exact=out, approx_hi=a_hi, approx_lo=a_lo,
+                        approx_count=a_cnt, approx_valid=a_val)
+
+        scalars = (jnp.int32(lc_sum_threshold(100.0, k)),
+                   jnp.zeros(0, jnp.uint32), jnp.zeros(0, jnp.uint32),
+                   jnp.int32(20), jnp.int32(0))
+        w_sh = jax.device_put(jnp.asarray(windows),
+                              NamedSharding(mesh, P(axis, None)))
+        wv_sh = jax.device_put(jnp.asarray(wvalid),
+                               NamedSharding(mesh, P(axis)))
+        bad = broken_step(w_sh, wv_sh, *scalars)
+
+        mesh1 = data_mesh(jax.devices()[:1])
+        step1 = make_full_step(mesh1, k, cap, ct=cap, wt=W,
+                               use_pallas=False)
+        good = step1(
+            jax.device_put(jnp.asarray(windows),
+                           NamedSharding(mesh1, P(axis, None))),
+            jax.device_put(jnp.asarray(wvalid),
+                           NamedSharding(mesh1, P(axis))),
+            *scalars,
+        )
+        mism = g.output_mismatches(bad, good)
+        assert mism, "double-psum output slipped through the gate"
+        assert any("approx_count" in p for p in mism), mism
