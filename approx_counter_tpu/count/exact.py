@@ -94,6 +94,47 @@ def _cap_slice(x, cap: int, fill):
     return jnp.concatenate([x, pad])
 
 
+def _topk_rank_rowsort(key1, s_lo, cap: int):
+    """Exact CompareCount top-``cap`` selection as ONE batched composite
+    row sort (the round-5 fused replacement for ``_topk_rank``'s two
+    hierarchical ``top_k`` passes + merge sort).
+
+    Reshape the P entries to [R, C] rows, sort each row by the FULL
+    composite order (key1 asc, ~code asc) in one 2-key ``lax.sort``, keep
+    each row's first ``cap`` columns, then sort the [R*cap] survivors
+    once more.  Coverage: the composite order is a total order on entry
+    values; any global top-``cap`` element is within its row's top-cap by
+    that same order, so it survives to level 2.  Ties are identical
+    (key1, code) value pairs -- only count-0 duplicates of one code can
+    collide, and those are bit-identical, hence interchangeable -- so no
+    index dedup is needed (unlike ``_topk_rank``'s boundary-class
+    corner).  Returns the same (o1, o4) = (packed key1, ~code) contract.
+
+    Measured on v5e at P=3.5M / cap=512 (native/exact_probe5.py, one
+    interleaved process): 4.38 ms at R=512 (4.48/4.47 at 256/1024) vs
+    6.05 ms for the _topk_rank pair; end-to-end exact stage
+    10.20 -> 8.62 ms.  R: largest power of two <= 512 that divides P
+    with rows >= cap.
+    """
+    P = key1.shape[0]
+    R = 512
+    while R > 1 and (P % R or P // R < cap):
+        R //= 2
+    if R == 1:  # tiny batches / huge caps: plain full sort
+        o1, o4 = jax.lax.sort([key1, ~s_lo], num_keys=2, is_stable=False)
+        return o1[:cap], o4[:cap]
+    C = P // R
+    r1, r4 = jax.lax.sort(
+        [key1.reshape(R, C), (~s_lo).reshape(R, C)], dimension=1,
+        num_keys=2, is_stable=False,
+    )
+    f1, f4 = jax.lax.sort(
+        [r1[:, :cap].reshape(-1), r4[:, :cap].reshape(-1)],
+        num_keys=2, is_stable=False,
+    )
+    return f1[:cap], f4[:cap]
+
+
 def _topk_rank(key1, s_lo, cap: int):
     """Exact CompareCount top-``cap`` selection without sorting all P
     entries: two (hierarchical) top_k passes + a tiny exact sort.
@@ -160,7 +201,8 @@ def exact_count_select(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "cap", "n_forbidden", "use_solid", "transposed"),
+    static_argnames=("k", "cap", "n_forbidden", "use_solid", "transposed",
+                     "select_impl"),
 )
 def exact_count_select_rows(
     windows,          # uint8 [n, m] ([m, n] when ``transposed``)
@@ -178,6 +220,10 @@ def exact_count_select_rows(
     n_forbidden: int, # static F (for tracing; == len(forbidden_hi))
     use_solid: bool,
     transposed: bool = False,
+    select_impl: str = "rowsort",  # "rowsort" | "topk": which exact
+    #                   top-cap selection runs on the k<=16 hot path (both
+    #                   byte-exact; rowsort measured 10.20 -> 8.62 ms
+    #                   end-to-end on chip, native/exact_probe5.py)
 ):
     # ``transposed``: consume the [m, n] (text-major) layout the BPM
     # kernel already wants, so a fused pass materializes ONE batch layout
@@ -314,11 +360,15 @@ def exact_count_select_rows(
     if P < (1 << (32 - db)):
         key1 = ((jnp.uint32(P) - count) << np.uint32(db)) | dimer
         if k <= 16 and P > 2 * cap:
-            # top-k selection path: two partial reduces over P + a 2*cap
-            # exact sort instead of sorting all P positions (only the
-            # n_unique run starts are real; the full ranking sort was ~9 ms
-            # of the ~19 ms exact stage at reference defaults).
-            o1, o4 = _topk_rank(key1, s_lo, cap)
+            # partial-selection path: avoid sorting all P positions by
+            # full CompareCount order (the full ranking sort was ~9 ms of
+            # the ~19 ms exact stage at reference defaults).  Two exact
+            # implementations: "rowsort" (one batched composite row sort,
+            # round 5) and "topk" (two hierarchical top_k passes + merge,
+            # rounds 3-4) -- A/B'd on chip in native/exact_probe5.py.
+            sel_fn = (_topk_rank_rowsort if select_impl == "rowsort"
+                      else _topk_rank)
+            o1, o4 = sel_fn(key1, s_lo, cap)
             sel_hi = jnp.zeros(cap, jnp.uint32)
         elif k <= 16:  # hi is identically zero; drop its key from the sort
             o1, o4 = jax.lax.sort([key1, ~s_lo], num_keys=2,

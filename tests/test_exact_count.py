@@ -227,3 +227,44 @@ class TestTransposedExact:
                     "n_unique", "n_pass", "n_keep", "had_n"):
             np.testing.assert_array_equal(
                 np.asarray(a[key]), np.asarray(b[key]), err_msg=key)
+
+
+def test_topk_rank_rowsort_matches_full_sort(rng):
+    """The round-5 fused selection (_topk_rank_rowsort: one batched
+    composite row sort) must return exactly the full-sort prefix on
+    random, tie-heavy, and all-count-0 inputs -- same contract as
+    _topk_rank."""
+    import jax
+    import jax.numpy as jnp
+
+    from approx_counter_tpu.count.exact import (
+        _topk_rank,
+        _topk_rank_rowsort,
+    )
+
+    P, cap = 4096, 64
+    fixtures = []
+    key1 = rng.integers(0, 1 << 31, P).astype(np.uint32)
+    s_lo = rng.integers(0, 1 << 32, P, dtype=np.uint64).astype(np.uint32)
+    fixtures.append((key1, s_lo))                       # random
+    key1_t = np.full(P, 7, np.uint32)                   # one giant tie class
+    fixtures.append((key1_t, s_lo))
+    key1_b = key1.copy()
+    key1_b[: P // 2] = 5                                # class straddles cap
+    fixtures.append((key1_b, s_lo))
+    key1_0 = np.full(P, 0xFFFFFFF0, np.uint32)          # all count-0-like
+    fixtures.append((key1_0, s_lo))
+    dup_lo = s_lo.copy()
+    dup_lo[::3] = dup_lo[0]                             # duplicate codes
+    fixtures.append((key1_t, dup_lo))
+
+    for key1_f, lo_f in fixtures:
+        k1 = jnp.asarray(key1_f)
+        lo = jnp.asarray(lo_f)
+        w1, w4 = jax.lax.sort([k1, ~lo], num_keys=2)    # exact reference
+        g1, g4 = _topk_rank_rowsort(k1, lo, cap)
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(w1)[:cap])
+        np.testing.assert_array_equal(np.asarray(g4), np.asarray(w4)[:cap])
+        h1, h4 = _topk_rank(k1, lo, cap)
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(w1)[:cap])
+        np.testing.assert_array_equal(np.asarray(h4), np.asarray(w4)[:cap])
