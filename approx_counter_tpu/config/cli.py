@@ -96,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume: read candidate k-mers from a prior exact "
                         "export (kmer\\tcount lines) instead of re-counting "
                         "(extension)")
+    p.add_argument("--device-pool", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="device-resident window pool for multi-pass runs: "
+                        "ship every eligible read's windows once, gather "
+                        "each pass's batch on device from a small index "
+                        "vector (extension; auto = when the pool bytes "
+                        "undercut the per-pass planes)")
     return p
 
 
@@ -170,4 +177,5 @@ def resolve_params(argv: list[str]) -> Params:
         prm.max_error = args.max_error
     if args.from_exact is not None:
         prm.from_exact = args.from_exact
+    prm.device_pool = args.device_pool
     return prm

@@ -52,6 +52,9 @@ class Params:
     profile_dir: str = ""       # dump a jax.profiler trace of the run here
     max_error: int = 2          # edit-distance bound (reference hardcodes 2
     #                             at compile time, approx_counter.cpp:25)
+    device_pool: str = "auto"   # device-resident window pool for multi-pass
+    #                             runs: "auto" (cost model), "on", "off"
+    #                             (pipeline.py build_pool, round 5)
 
     def validate(self) -> None:
         """approx_counter.cpp:781-787."""

@@ -314,6 +314,7 @@ class Engine:
         self.packed_out = True
         self._fused_cache: dict[tuple, object] = {}
         self._tail_cache = None
+        self._pool = None  # device window pool (build_pool, round 5)
 
     def _tail_dev(self):
         """The five pass-invariant arguments, device-resident ONCE per
@@ -333,6 +334,80 @@ class Engine:
 
     def candidates_from_codes(self, codes: np.ndarray):
         return candidates_from_codes(codes)
+
+    def build_pool(self, reads, sl: int) -> bool:
+        """Device-resident window pool (round 5, multi-pass transfer cut).
+
+        Ships BOTH cut windows (start sl-base prefix, end sl+1-base
+        suffix -- the reference off-by-one) of every eligible read
+        (len >= 2*sl) ONCE in the packed 2-bit format, unpacks and
+        transposes them on device into two resident [m, E] pool planes.
+        Every subsequent pass then ships only its chosen-read index
+        vector (4 B/row, ~160 KB at sn=40000 vs the 1.06 MB plane) and
+        gathers its batch on device (``fmt='pool'`` executable).  Rows
+        past n_valid gather pool row 0 and are masked invalid, so
+        outputs are byte-identical to the host-gather path.
+
+        Returns False (pool disabled) when no read is eligible.
+        Ref workload: the -mr N / both-ends loop, approx_counter.cpp:
+        835-955."""
+        lengths = reads.lengths
+        elig = np.nonzero(lengths >= 2 * sl)[0]
+        E = len(elig)
+        if E == 0:
+            self._pool = None
+            return False
+        width = sl + 1
+        inv = np.full(len(reads), -1, np.int64)
+        inv[elig] = np.arange(E)
+        pools = {}
+        from approx_counter_tpu.core.codec import BASE_PAD
+
+        for which, end in (("start", False), ("end", True)):
+            wins = np.full((max(E, 8), width), BASE_PAD, np.uint8)
+            offs = reads.offsets
+            starts = offs[elig + 1] - 1 - sl if end else offs[elig]
+            ncols = width if end else sl
+            try:
+                from approx_counter_tpu.io.native import (
+                    gather_windows_native,
+                )
+
+                gather_windows_native(
+                    np.ascontiguousarray(reads.buf), starts, ncols, wins
+                )
+            except ImportError:
+                idx = starts[:, None] + np.arange(ncols)[None, :]
+                wins[:E, :ncols] = reads.buf[idx]
+            dev = self.device_windows(wins, n_valid=E)  # packed H2D, once
+            pools[which] = jax.numpy.transpose(dev, (1, 0))
+        self._pool = dict(pools=pools, inv=inv, m=width, E=E)
+        return True
+
+    def start_pass_pool(self, chosen: np.ndarray, n_valid: int,
+                        end: bool, prefetch: bool = False):
+        """Dispatch one fused pass that gathers its windows from the
+        device pool -- the per-pass H2D is ONE small int32 vector.
+        Same ``_PendingPass`` contract as ``start_pass``."""
+        pool = self._pool
+        cap = max(512, _round_up(min(self.prm.limit, 1 << 20), CT))
+        w_pad = max(_round_up(max(int(n_valid), 1), WT), WT)
+        idx_ext = np.zeros(w_pad + 1, np.int32)
+        idx_ext[:n_valid] = pool["inv"][chosen]
+        idx_ext[-1] = n_valid
+        if prefetch:
+            idx_ext = jax.device_put(idx_ext)
+        pool_t = pool["pools"]["end" if end else "start"]
+        tail = self._tail_dev()
+        po = self.packed_out
+        m = pool["m"]
+
+        def redispatch(cap):
+            return self._fused_fn(cap, m, "pool", packed_out=po)(
+                pool_t, idx_ext, *tail
+            )
+
+        return _PendingPass(self, redispatch, cap)
 
     def device_windows(self, windows, n_valid: int | None = None):
         """Ship a host window batch to the device 2-bit-packed (sparse-N
@@ -382,7 +457,10 @@ class Engine:
         format (0.375 B/base, the fallback for > ncap Ns and the
         ``_fused_step`` compatibility path); 'raw' takes an already
         device-resident uint8 [n, m] batch (no transfer, no unpack --
-        the library-embedding path).
+        the library-embedding path); 'pool' gathers the batch on device
+        from a resident transposed [m, E] window pool using a shipped
+        index vector (~KB per pass -- the round-5 multi-pass path, see
+        ``build_pool``).
 
         ``transposed`` (sparse fmt only): unpack straight into the [m, W]
         text-major layout both the BPM kernel and the transposed exact
@@ -493,6 +571,20 @@ class Engine:
                 )
                 return finish_out(body(windows, n_valid, lc_thr, fhi, flo,
                                        limit, solid_km))
+
+        elif fmt == "pool":
+            import jax.numpy as jnp
+
+            @jax.jit
+            def step(pool_t, idx_ext, lc_thr, fhi, flo, limit, solid_km):
+                # idx_ext = [Wpad chosen pool rows | n_valid]; rows past
+                # n_valid point at pool row 0 and are masked invalid by
+                # body_t's iota row mask, so they change no counts
+                idx = idx_ext[:-1]
+                n_valid = idx_ext[-1]
+                windows_t = jnp.take(pool_t, idx, axis=1)
+                return finish_out(body_t(windows_t, n_valid, lc_thr, fhi,
+                                         flo, limit, solid_km))
 
         elif fmt == "raw":
 
@@ -694,6 +786,32 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
     # sl-base prefix windows) and its counts are exported under `.end`.
     quirk_end_is_start = prm.skip_end and runs_end_pass
 
+    # Device window pool (round 5): for multi-pass runs, ship every
+    # eligible read's two cut windows ONCE and gather each pass's batch
+    # on device from a ~KB index vector -- instead of packing + shipping
+    # a ~1 MB plane per pass through the transfer-bound tunnel.  Worth it
+    # when the pool's one-time bytes (2E rows) undercut the per-pass
+    # planes (total_passes * padded sample rows); force with
+    # --device-pool on/off.
+    use_pool = False
+    if (not prm.stream and resume_codes is None and reads is not None
+            and prm.device_pool != "off"):
+        total_passes = prm.nb_of_runs * (2 if runs_end_pass else 1)
+        n_elig = int(np.count_nonzero(reads.lengths >= 2 * prm.sl))
+        eff = min(sn, len(reads), n_elig)
+        w_rows = max(_round_up(max(eff, 1), WT), WT)
+        worth = total_passes >= 2 and 2 * n_elig < total_passes * w_rows
+        if n_elig > 0 and (prm.device_pool == "on" or worth):
+            use_pool = engine.build_pool(reads, prm.sl)
+
+    def dispatch_pass(batch, end_flag: bool):
+        if use_pool:
+            return engine.start_pass_pool(
+                batch.chosen, batch.n_valid, end=end_flag, prefetch=True
+            )
+        return engine.start_pass(batch.windows, batch.n_valid,
+                                 prefetch=True)
+
     def next_pass_key(run: int, which_end: str):
         if which_end == "start" and runs_end_pass:
             return (run, "end")
@@ -759,7 +877,7 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
                 else:
                     batch = sample_windows(
                         reads, sn, prm.sl, end=bottom, rng=rng, pad_to=WT,
-                        v=mr_v,
+                        v=mr_v, gather=not use_pool,
                     )
                 t_sample = time.perf_counter() - t_sample
             if mr_v > 0:
@@ -787,32 +905,28 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
                     # first pass -- async H2D amortizes the tunnel's
                     # ~27 ms per-sync cost (55 -> 31 ms/MB measured,
                     # native/put_pipeline_probe.py)
-                    pending = engine.start_pass(
-                        batch.windows, batch.n_valid, prefetch=True
-                    )
+                    pending = dispatch_pass(batch, bottom)
                 nxt = next_pass_key(current_run, which_end)
                 if pending is not None and nxt is not None:
                     # a pass is in flight: overlap the next pass's
                     # sample + pack + H2D + dispatch with it
                     t_s2 = time.perf_counter()
                     warn_msgs2: list = []
+                    end2 = nxt[1] == "end" and not quirk_end_is_start
                     if stream_batches is not None and nxt[0] == current_run:
                         batch2 = stream_batches[nxt[1]]
                     else:
                         batch2 = sample_windows(
-                            reads, sn, prm.sl,
-                            end=nxt[1] == "end" and not quirk_end_is_start,
+                            reads, sn, prm.sl, end=end2,
                             rng=rng, pad_to=WT, v=mr_v,
-                            warn_sink=warn_msgs2,
+                            warn_sink=warn_msgs2, gather=not use_pool,
                         )
                     t_s2 = time.perf_counter() - t_s2
                     prefetched = (
                         nxt,
                         batch2,
                         t_s2,
-                        engine.start_pass(
-                            batch2.windows, batch2.n_valid, prefetch=True
-                        ),
+                        dispatch_pass(batch2, end2),
                         warn_msgs2,
                     )
                 if pending is not None:

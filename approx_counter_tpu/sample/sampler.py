@@ -40,6 +40,9 @@ class WindowBatch:
 
     windows: np.ndarray  # uint8 [n_pad, sl+1]; start rows end in one pad col
     n_valid: int
+    chosen: np.ndarray | None = None  # int64 [n_valid] sampled read ids
+    #                                   (device-pool dispatch, round 5);
+    #                                   None for streaming reservoirs
 
     @property
     def width(self) -> int:
@@ -60,6 +63,7 @@ def sample_windows(
     pad_to: int = 8,
     v: int = 0,
     warn_sink: list | None = None,
+    gather: bool = True,
 ) -> WindowBatch:
     """Sample up to ``sn`` windows of the read starts (or ends).
 
@@ -70,6 +74,10 @@ def sample_windows(
     ``warn_sink``: collect those warning texts instead of emitting (the
     pipelined driver samples the NEXT pass early and flushes its warnings
     at the reference's point in the log sequence).
+    ``gather=False`` skips the host window gather and returns a batch
+    with ``windows=None`` -- the device-pool path (pipeline round 5)
+    gathers on device from the resident pool using ``chosen``; rng
+    consumption, eligibility walk, and warnings are identical.
     """
     n_reads = len(reads)
     if order is None:
@@ -108,6 +116,9 @@ def sample_windows(
             else:
                 warn(msg)
 
+    if not gather:
+        return WindowBatch(windows=None, n_valid=n_valid, chosen=chosen)
+
     n_pad = max(_round_up(n_valid, pad_to), pad_to)
     windows = np.full((n_pad, width), BASE_PAD, dtype=np.uint8)
     offs = reads.offsets
@@ -127,4 +138,4 @@ def sample_windows(
         except ImportError:
             idx = starts[:, None] + np.arange(ncols)[None, :]
             windows[:n_valid, :ncols] = reads.buf[idx]
-    return WindowBatch(windows=windows, n_valid=n_valid)
+    return WindowBatch(windows=windows, n_valid=n_valid, chosen=chosen)
