@@ -207,6 +207,26 @@ def bench_tpu() -> float:
         )
         log(f"full pass device compute (chained, device-resident): "
             f"{dt * 1e3:.2f} ms")
+        # device window pool (round 5): the -mr multi-pass steady state --
+        # per-pass H2D is a ~160 KB chosen-id vector instead of the plane
+        from approx_counter_tpu.io.fastx import Reads
+
+        n_reads, read_len = 50000, 2 * M
+        pbuf = rng.integers(0, 4, n_reads * read_len).astype(np.uint8)
+        poffs = np.arange(n_reads + 1, dtype=np.int64) * read_len
+        eng.build_pool(Reads(buf=pbuf, offsets=poffs), M - 1)
+        chos = [rng.permutation(n_reads)[:W] for _ in range(9)]
+        eng.start_pass_pool(chos[8], W, end=False).finish()  # warm
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pends = [eng.start_pass_pool(chos[i], W, end=bool(i % 2),
+                                         prefetch=True) for i in range(8)]
+            for p in pends:
+                p.finish()
+            cur = (time.perf_counter() - t0) / 8
+            best = cur if best is None else min(best, cur)
+        log(f"device-pool -mr steady state: {best * 1e3:.1f} ms/pass")
     except Exception as e:  # noqa: BLE001
         log(f"full-pass diagnostic unavailable: {e}")
     return pairs_per_s

@@ -235,6 +235,51 @@ for kf, slf, nf, nvf, limitf in ((8, 24, 128, 121, 37),
                + ("OK" if ok else "FAIL"))
 
 # ---------------------------------------------------------------------------
+# Pool-path fused pass on hardware (round 5): Engine.build_pool ships the
+# eligible reads' windows once; the fmt='pool' executable gathers each
+# pass's batch on device from the chosen-id vector.  Byte-compared
+# against the oracle on the same sample, both ends (start sl-prefix, end
+# sl+1-suffix).  Ref workload: approx_counter.cpp:835-955.
+# ---------------------------------------------------------------------------
+from approx_counter_tpu.io.fastx import Reads as _Reads  # noqa: E402
+
+kp, slp, n_readsp, snp, limitp = 8, 24, 60, 41, 37
+lensp = rng.integers(2 * slp, 3 * slp, n_readsp)
+bufp = rng.integers(0, 4, int(lensp.sum())).astype(np.uint8)
+offp = np.zeros(n_readsp + 1, np.int64)
+offp[1:] = np.cumsum(lensp)
+for _ in range(15):
+    bufp[rng.integers(0, len(bufp))] = BASE_N
+readsp = _Reads(buf=bufp, offsets=offp)
+prmp = Params(input_file="<mem>", output="/tmp/x", k=kp, sl=slp,
+              limit=limitp, param_lc=1.0)
+engp = Engine(prmp, use_pallas=True)
+assert engp.build_pool(readsp, slp)
+chosenp = rng.permutation(n_readsp)[:snp]
+for endp in (False, True):
+    (ec, ecnt), (ac, acnt), stats = engp.start_pass_pool(
+        chosenp, snp, end=endp
+    ).finish()
+    wl = []
+    for rid in chosenp:
+        s = bufp[offp[rid]: offp[rid + 1]]
+        wl.append(s[len(s) - 1 - slp:] if endp else s[:slp])
+    lcp = adjust_threshold(1.0, 16, kp)
+    cntp, had_p = oracle_count_kmers(wl, kp, lcp, set())
+    selp = oracle_get_most_frequent(cntp, limitp, kp)
+    rankp = oracle_sort_compare_count(
+        oracle_error_count(wl, [c for c, _ in selp], kp), kp
+    )[:limitp]
+    ok = (
+        list(zip(ec.tolist(), ecnt.tolist())) == selp
+        and list(zip(ac.tolist(), acnt.tolist())) == rankp
+        and stats["had_n"] == had_p
+    )
+    fails += 0 if ok else 1
+    record(f"pool-path fused pass end={int(endp)} vs oracle: "
+           + ("OK" if ok else "FAIL"))
+
+# ---------------------------------------------------------------------------
 # Mesh full step on hardware: the multihost drivers' jitted program
 # (dist.mesh.make_full_step -- exact via auto-SPMD + BPM via shard_map +
 # psum) on a 1-device mesh of the real chip, against the same oracle.

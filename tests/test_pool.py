@@ -109,3 +109,18 @@ def test_pool_auto_triggers_on_multirun(tmp_path, rng, monkeypatch):
                  sl=10, k=6, sn=100, limit=5, v=0, seed=1, skip_end=True)
     assert run_pipeline(prm) == 0
     assert built == []
+
+
+def test_pool_solid_cap_regrowth(tmp_path, rng):
+    """solid_km=1 keeps every unique k-mer: n_keep exceeds the initial
+    cap, forcing _PendingPass.finish to redispatch the POOL executable at
+    a regrown cap -- must still byte-match the host-gather path."""
+    _run_both(tmp_path, rng, "regrow", sl=40, k=10, sn=60, limit=5000,
+              seed=2, solid_km=1, nb_of_runs=2, n_reads=50)
+
+
+def test_pool_sn_zero(tmp_path, rng):
+    """sn=0 samples nothing; pool-mode exports must be empty like the
+    host path's."""
+    _run_both(tmp_path, rng, "zero", sl=10, k=4, sn=0, limit=5, seed=1,
+              nb_of_runs=2)
