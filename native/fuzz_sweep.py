@@ -171,7 +171,8 @@ def one_mode_config(rng, tmp, idx):
     # -mr 2: run 1 equals the single run at identity sampling (the
     # sampled set is the whole eligible set every run)
     out2 = os.path.join(tmp, f"mm{idx}.txt")
-    prm2 = Params(output=out2, **base)
+    prm2 = Params(output=out2, device_pool="off", **base)  # plane path
+    #             (the pool-on run below byte-compares against this)
     prm2.nb_of_runs = 2
     assert run_pipeline(prm2) == 0
     for run in (0, 1):
@@ -190,6 +191,17 @@ def one_mode_config(rng, tmp, idx):
     prm4 = Params(output=out4, skip_end=True, **base)
     assert run_pipeline(prm4) == 0
     assert not os.path.exists(out4 + "_0.end")
+    # device pool forced on: every export byte-equal to the plane path
+    out6 = os.path.join(tmp, f"mp{idx}.txt")
+    prm6 = Params(output=out6, device_pool="on", **base)
+    prm6.nb_of_runs = 2
+    assert run_pipeline(prm6) == 0
+    for run in (0, 1):
+        for end in ("start", "end"):
+            assert (open(out6 + f"_{run}.{end}").read()
+                    == open(out2 + f"_{run}.{end}").read()), ("pool", run,
+                                                              end)
+
     out5 = os.path.join(tmp, f"mq{idx}.txt")
     prm5 = Params(output=out5, skip_end=True, compat_quirks=True, **base)
     assert run_pipeline(prm5) == 0

@@ -234,6 +234,11 @@ def test_topk_rank_rowsort_matches_full_sort(rng):
     composite row sort) must return exactly the full-sort prefix on
     random, tie-heavy, and all-count-0 inputs -- same contract as
     _topk_rank."""
+    for P in (4096, 4095):  # 4095: odd P -> the R=1 full-sort fallback
+        _rowsort_fixtures(rng, P, cap=64)
+
+
+def _rowsort_fixtures(rng, P, cap):
     import jax
     import jax.numpy as jnp
 
@@ -242,7 +247,6 @@ def test_topk_rank_rowsort_matches_full_sort(rng):
         _topk_rank_rowsort,
     )
 
-    P, cap = 4096, 64
     fixtures = []
     key1 = rng.integers(0, 1 << 31, P).astype(np.uint32)
     s_lo = rng.integers(0, 1 << 32, P, dtype=np.uint64).astype(np.uint32)
