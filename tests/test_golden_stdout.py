@@ -157,6 +157,24 @@ def test_golden_multirun_muted(fixture_fasta, tmp_path, capsys):
     )
 
 
+def test_golden_forbidden_line(fixture_fasta, tmp_path, capsys):
+    """-fk prints 'Parsing the fobidden kmer list' (typo preserved,
+    :767) UNCONDITIONALLY (not v-gated) before the parameter echo."""
+    fk = tmp_path / "fk.txt"
+    fk.write_text("ACGTACGTACGTACGT\n")
+    assert run_pipeline(_params(fixture_fasta, tmp_path, v=1,
+                                forbid_kmer=str(fk))) == 0
+    lines = strip_ts(capsys.readouterr().out)
+    assert lines[0] == "Parsing the fobidden kmer list"
+    assert lines[1:][: len(ECHO)] == ECHO
+    # v=0: the line still prints (reference behavior)
+    assert run_pipeline(_params(fixture_fasta, tmp_path, v=0,
+                                forbid_kmer=str(fk),
+                                output=str(tmp_path / "o2.txt"))) == 0
+    lines = strip_ts(capsys.readouterr().out)
+    assert lines == ["Parsing the fobidden kmer list"]
+
+
 def test_golden_skip_end(fixture_fasta, tmp_path, capsys):
     """-se with live verbosity: start block, then the 'Skipping end
     adapter ressearch' line (typo preserved, :945-947) at tab 0, no end
