@@ -102,7 +102,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "ship every eligible read's windows once, gather "
                         "each pass's batch on device from a small index "
                         "vector (extension; auto = when the pool bytes "
-                        "undercut the per-pass planes)")
+                        "undercut the per-pass planes; in-memory mode "
+                        "only -- inert under --stream/--from-exact)")
     return p
 
 
