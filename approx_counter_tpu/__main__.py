@@ -35,6 +35,7 @@ def _apply_platform_env() -> None:
 
 def main(argv: list[str] | None = None) -> int:
     from approx_counter_tpu.config.cli import resolve_params
+    from approx_counter_tpu.io.fastx import InputFormatError
 
     prm = resolve_params(sys.argv[1:] if argv is None else argv)
     _apply_platform_env()
@@ -61,12 +62,14 @@ def main(argv: list[str] | None = None) -> int:
     except FileNotFoundError as e:
         sys.stderr.write(f"/!\\ ERROR: COULD NOT OPEN FILE {e.args[0]}\n")
         return 1
-    except ValueError as e:
+    except InputFormatError as e:
         # Malformed input contract (COMPAT #19): parser errors (truncated
         # FASTQ, quality-length mismatch, unrecognized format) exit 1 with
         # the /!\ prefix.  The reference lets SeqAn's throw escape main ->
         # std::terminate with a platform-defined status; a clean error is
-        # a strict refinement (same family as COMPAT #16).
+        # a strict refinement (same family as COMPAT #16).  Deliberately
+        # NOT a bare ValueError catch: an internal bug's ValueError must
+        # traceback, not masquerade as bad input.
         sys.stderr.write(f"/!\\ ERROR: {e}\n")
         return 1
 

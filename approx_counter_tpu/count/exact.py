@@ -117,6 +117,10 @@ def _topk_rank_rowsort(key1, s_lo, cap: int):
     with rows >= cap.
     """
     P = key1.shape[0]
+    # The driver pads window rows to a WT=256 multiple, so P = n*p is
+    # divisible by 256 and this picks R >= 256 whenever P >= 256*cap.
+    # Un-padded library embeddings with awkward P factorizations fall to
+    # the exact-but-slower flat 2-key sort below (R == 1).
     R = 512
     while R > 1 and (P % R or P // R < cap):
         R //= 2

@@ -185,10 +185,12 @@ def distributed_sample_windows(
         n_reads += 1
         if len(seq) < 2 * sl:
             if v >= 2 and len(seq) < sl:
-                from approx_counter_tpu.io.logging import warn
+                from approx_counter_tpu.io.logging import (
+                    short_read_warning,
+                    warn,
+                )
 
-                warn("Cut size is longer that current read! "
-                     f"(read id: {n_reads - 1}).")
+                warn(short_read_warning(n_reads - 1))
             continue  # eligibility, approx_counter.cpp:461
         bk_start.offer(seq)
         bk_end.offer(seq)

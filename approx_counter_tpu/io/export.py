@@ -56,7 +56,9 @@ def parse_exact_export(path: str, k: int) -> np.ndarray:
             kmer = line.split("\t")[0]
             c = seq_to_codes(kmer)
             if len(c) != k or (c >= BASE_N).any():
-                raise ValueError(
+                from approx_counter_tpu.io.fastx import InputFormatError
+
+                raise InputFormatError(
                     f"{path}:{ln}: '{kmer}' is not a pure-ACGT {k}-mer"
                 )
             codes.append(encode_kmer(c))

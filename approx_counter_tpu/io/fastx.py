@@ -17,6 +17,14 @@ import numpy as np
 
 from approx_counter_tpu.core.codec import _CHAR_TO_CODE
 
+
+class InputFormatError(ValueError):
+    """Malformed/unrecognized input file (COMPAT #19).  A ValueError
+    subclass so existing parser tests keep matching; the CLI catches
+    THIS type only, so internal ValueErrors still traceback instead of
+    masquerading as bad input."""
+
+
 #: bytes.translate table: ASCII -> base ordinals.  All big-buffer char
 #: mapping goes through bytes.translate / bytes.join, NOT numpy fancy
 #: indexing -- numpy's gather/memcpy paths run at ~15 MB/s on some
@@ -59,7 +67,9 @@ def _detect_format(first_byte: int) -> str:
         return "fasta"
     if first_byte == ord("@"):
         return "fastq"
-    raise ValueError("Unrecognized sequence file format (expected FASTA or FASTQ)")
+    raise InputFormatError(
+        "Unrecognized sequence file format (expected FASTA or FASTQ)"
+    )
 
 
 def is_gzip(path: str) -> bool:
@@ -90,7 +100,7 @@ def read_fastx_py(path: str) -> Reads:
         n = len(data)
         while pos < n:
             if data[pos] != ord(">"):
-                raise ValueError("Malformed FASTA: expected '>' header")
+                raise InputFormatError("Malformed FASTA: expected '>' header")
             hdr_end = data.find(b"\n", pos)
             if hdr_end == -1:
                 chunks.append(b"")
@@ -116,14 +126,14 @@ def read_fastx_py(path: str) -> Reads:
                 i += 1
                 continue
             if lines[i][0] != ord("@"):
-                raise ValueError("Malformed FASTQ: expected '@' header")
+                raise InputFormatError("Malformed FASTQ: expected '@' header")
             i += 1
             seq_parts: list[bytes] = []
             while i < nl and not lines[i].startswith(b"+"):
                 seq_parts.append(lines[i].rstrip(b"\r"))
                 i += 1
             if i >= nl:
-                raise ValueError("Malformed FASTQ: truncated record")
+                raise InputFormatError("Malformed FASTQ: truncated record")
             i += 1  # '+' separator (may carry a tag)
             need = sum(len(p) for p in seq_parts)
             got = 0
@@ -131,7 +141,7 @@ def read_fastx_py(path: str) -> Reads:
                 got += len(lines[i].rstrip(b"\r"))
                 i += 1
             if got != need:
-                raise ValueError("Malformed FASTQ: quality length mismatch")
+                raise InputFormatError("Malformed FASTQ: quality length mismatch")
             seq = b"".join(seq_parts)
             chunks.append(seq)
             lengths.append(len(seq))

@@ -31,5 +31,12 @@ def warn(text: str) -> None:
     sys.stderr.write(f"/!\\ WARNING: {text}\n")
 
 
+def short_read_warning(read_id) -> str:
+    """The per-read sampler warning text (approx_counter.cpp:449-457;
+    'that' typo preserved).  ONE definition -- three samplers emit it
+    (in-memory walk, streaming reservoirs, distributed bottom-k)."""
+    return f"Cut size is longer that current read! (read id: {read_id})."
+
+
 def error(text: str) -> None:
     sys.stderr.write(f"/!\\ ERROR: {text}\n")

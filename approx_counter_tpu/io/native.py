@@ -125,7 +125,9 @@ def read_fastx_native(path: str) -> Reads:
         msg = err.value.decode() if err.value else "parse failed"
         if "could not open" in msg:
             raise FileNotFoundError(path)
-        raise ValueError(msg)
+        from approx_counter_tpu.io.fastx import InputFormatError
+
+        raise InputFormatError(msg)
     n = lib.fastx_n_reads(h)
     total = lib.fastx_total_bases(h)
     if total == 0:
@@ -171,7 +173,11 @@ def parse_chunk_native(
         ctypes.byref(consumed), ctypes.byref(err),
     )
     if not h:
-        raise ValueError(err.value.decode() if err.value else "parse failed")
+        from approx_counter_tpu.io.fastx import InputFormatError
+
+        raise InputFormatError(
+            err.value.decode() if err.value else "parse failed"
+        )
     try:
         n = lib.fastx_n_reads(h)
         total = lib.fastx_total_bases(h)

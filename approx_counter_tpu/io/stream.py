@@ -25,7 +25,7 @@ import dataclasses
 import numpy as np
 
 from approx_counter_tpu.core.codec import BASE_PAD
-from approx_counter_tpu.io.fastx import _TRANS
+from approx_counter_tpu.io.fastx import InputFormatError, _TRANS
 from approx_counter_tpu.sample.sampler import WindowBatch, _round_up
 
 
@@ -117,7 +117,7 @@ def _iter_fastq(f, chunk_size):
                 if not line:
                     continue
                 if not line.startswith(b"@"):
-                    raise ValueError("Malformed FASTQ: expected '@' header")
+                    raise InputFormatError("Malformed FASTQ: expected '@' header")
                 seq_parts = []
                 state = 1
             elif state == 1:
@@ -132,7 +132,7 @@ def _iter_fastq(f, chunk_size):
                 got += len(line)
                 if got >= need:
                     if got != need:
-                        raise ValueError(
+                        raise InputFormatError(
                             "Malformed FASTQ: quality length mismatch"
                         )
                     state = 0
@@ -201,7 +201,7 @@ def iter_read_seqs(path: str | list[str], chunk_size: int = 1 << 22):
             elif first == b"@":
                 it = _iter_fastq(f, chunk_size)
             else:
-                raise ValueError(
+                raise InputFormatError(
                     "Unrecognized sequence file format (expected FASTA or "
                     "FASTQ)"
                 )
@@ -236,7 +236,11 @@ def stream_sample_windows(
     ``bottom == false`` (approx_counter.cpp:943-953).  ``v >= 2``: the
     per-read short-read stderr warning (approx_counter.cpp:449-457),
     read id = stream ordinal (the streaming analog of the reference's
-    walked index; every read is walked here).
+    walked index).  Documented divergences of this extension mode: ONE
+    warning per short read per run (one shared streaming walk feeds both
+    reservoirs, vs one warning per *sampling pass* in the reference /
+    in-memory path), every read is walked (no sn-th-eligible truncation),
+    and ids are file-order, not shuffle-order.
     """
     if rng is None:
         rng = np.random.default_rng()
@@ -249,10 +253,12 @@ def stream_sample_windows(
         n_reads += 1
         if len(seq) < 2 * sl:
             if v >= 2 and len(seq) < sl:
-                from approx_counter_tpu.io.logging import warn
+                from approx_counter_tpu.io.logging import (
+                    short_read_warning,
+                    warn,
+                )
 
-                warn("Cut size is longer that current read! "
-                     f"(read id: {n_reads - 1}).")
+                warn(short_read_warning(n_reads - 1))
             continue  # eligibility, approx_counter.cpp:461
         r_start.offer(seq)
         r_end.offer(seq)

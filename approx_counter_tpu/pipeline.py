@@ -335,22 +335,30 @@ class Engine:
     def candidates_from_codes(self, codes: np.ndarray):
         return candidates_from_codes(codes)
 
-    def build_pool(self, reads, sl: int) -> bool:
+    def build_pool(self, reads, sl: int,
+                   ends: tuple = ("start", "end")) -> bool:
         """Device-resident window pool (round 5, multi-pass transfer cut).
 
-        Ships BOTH cut windows (start sl-base prefix, end sl+1-base
+        Ships the cut windows (start sl-base prefix; end sl+1-base
         suffix -- the reference off-by-one) of every eligible read
         (len >= 2*sl) ONCE in the packed 2-bit format, unpacks and
-        transposes them on device into two resident [m, E] pool planes.
+        transposes them on device into resident [m, E] pool planes.
         Every subsequent pass then ships only its chosen-read index
         vector (4 B/row, ~160 KB at sn=40000 vs the 1.06 MB plane) and
         gathers its batch on device (``fmt='pool'`` executable).  Rows
         past n_valid gather pool row 0 and are masked invalid, so
         outputs are byte-identical to the host-gather path.
 
+        ``ends`` lists the planes the pass plan can actually reach --
+        a skip_end or quirk (end-samples-start) run never reads the end
+        plane, so the driver omits it from the build and the cost model.
+
         Returns False (pool disabled) when no read is eligible.
         Ref workload: the -mr N / both-ends loop, approx_counter.cpp:
         835-955."""
+        from approx_counter_tpu.core.codec import BASE_PAD
+        from approx_counter_tpu.sample.sampler import gather_rows
+
         lengths = reads.lengths
         elig = np.nonzero(lengths >= 2 * sl)[0]
         E = len(elig)
@@ -361,24 +369,12 @@ class Engine:
         inv = np.full(len(reads), -1, np.int64)
         inv[elig] = np.arange(E)
         pools = {}
-        from approx_counter_tpu.core.codec import BASE_PAD
-
-        for which, end in (("start", False), ("end", True)):
+        for which in ends:
+            end = which == "end"
             wins = np.full((max(E, 8), width), BASE_PAD, np.uint8)
             offs = reads.offsets
             starts = offs[elig + 1] - 1 - sl if end else offs[elig]
-            ncols = width if end else sl
-            try:
-                from approx_counter_tpu.io.native import (
-                    gather_windows_native,
-                )
-
-                gather_windows_native(
-                    np.ascontiguousarray(reads.buf), starts, ncols, wins
-                )
-            except ImportError:
-                idx = starts[:, None] + np.arange(ncols)[None, :]
-                wins[:E, :ncols] = reads.buf[idx]
+            gather_rows(reads.buf, starts, width if end else sl, wins)
             dev = self.device_windows(wins, n_valid=E)  # packed H2D, once
             pools[which] = jax.numpy.transpose(dev, (1, 0))
         self._pool = dict(pools=pools, inv=inv, m=width, E=E)
@@ -797,12 +793,17 @@ def run_pipeline(prm: Params, log: Log | None = None) -> int:
     if (not prm.stream and resume_codes is None and reads is not None
             and prm.device_pool != "off"):
         total_passes = prm.nb_of_runs * (2 if runs_end_pass else 1)
+        # the end plane is unreachable when the end pass never runs OR
+        # the quirk makes it a start re-sample -- don't ship or price it
+        need_end = runs_end_pass and not quirk_end_is_start
+        ends_needed = ("start", "end") if need_end else ("start",)
         n_elig = int(np.count_nonzero(reads.lengths >= 2 * prm.sl))
         eff = min(sn, len(reads), n_elig)
         w_rows = max(_round_up(max(eff, 1), WT), WT)
-        worth = total_passes >= 2 and 2 * n_elig < total_passes * w_rows
+        worth = (total_passes >= 2
+                 and len(ends_needed) * n_elig < total_passes * w_rows)
         if n_elig > 0 and (prm.device_pool == "on" or worth):
-            use_pool = engine.build_pool(reads, prm.sl)
+            use_pool = engine.build_pool(reads, prm.sl, ends=ends_needed)
 
     def dispatch_pass(batch, end_flag: bool):
         if use_pool:

@@ -53,6 +53,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def gather_rows(buf: np.ndarray, starts: np.ndarray, ncols: int,
+                out: np.ndarray) -> None:
+    """Gather ``len(starts)`` rows of ``ncols`` bases from ``buf`` into
+    ``out[:len(starts), :ncols]`` -- native memcpy when built (numpy
+    fancy indexing intermittently throttles ~100x on this host), numpy
+    fallback otherwise.  Shared by the per-pass sampler and the device
+    window pool (pipeline.build_pool)."""
+    if len(starts) == 0:
+        return
+    try:
+        from approx_counter_tpu.io.native import gather_windows_native
+
+        gather_windows_native(np.ascontiguousarray(buf), starts, ncols, out)
+    except ImportError:
+        idx = starts[:, None] + np.arange(ncols)[None, :]
+        out[: len(starts), :ncols] = buf[idx]
+
+
 def sample_windows(
     reads: Reads,
     sn: int,
@@ -109,8 +127,10 @@ def sample_windows(
                 walk_end = int(np.argmax(cum == sn)) + 1
             else:
                 walk_end = n_reads
+        from approx_counter_tpu.io.logging import short_read_warning
+
         for sid in order[:walk_end][lens_walk[:walk_end] < sl]:
-            msg = f"Cut size is longer that current read! (read id: {sid})."
+            msg = short_read_warning(sid)
             if warn_sink is not None:
                 warn_sink.append(msg)
             else:
@@ -126,16 +146,5 @@ def sample_windows(
         starts = offs[chosen + 1] - 1 - sl  # suffix(seq, len-1-sl) -> sl+1 bases
     else:
         starts = offs[chosen]
-    if n_valid:
-        try:  # native memcpy gather (numpy fancy indexing intermittently
-            from approx_counter_tpu.io.native import (  # throttles ~100x
-                gather_windows_native,
-            )
-
-            gather_windows_native(
-                np.ascontiguousarray(reads.buf), starts, ncols, windows
-            )
-        except ImportError:
-            idx = starts[:, None] + np.arange(ncols)[None, :]
-            windows[:n_valid, :ncols] = reads.buf[idx]
+    gather_rows(reads.buf, starts, ncols, windows)
     return WindowBatch(windows=windows, n_valid=n_valid, chosen=chosen)

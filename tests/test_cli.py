@@ -123,3 +123,18 @@ def test_malformed_input_exit_contract(tmp_path, capsys):
             else:
                 assert rc == 1, (name, extra)
                 assert "/!\\ ERROR: " in err, (name, extra, err)
+
+
+def test_internal_valueerror_not_masked(tmp_path, monkeypatch):
+    """Only InputFormatError is reclassified as a malformed-input exit;
+    an internal ValueError must traceback (COMPAT #19 refinement)."""
+    import approx_counter_tpu.__main__ as m
+
+    def boom(prm):
+        raise ValueError("internal bug, not bad input")
+
+    fa = tmp_path / "ok.fasta"
+    fa.write_text(">r0\nACGTACGT\n")
+    monkeypatch.setattr("approx_counter_tpu.pipeline.run_pipeline", boom)
+    with pytest.raises(ValueError, match="internal bug"):
+        m.main([str(fa), "-o", str(tmp_path / "o.txt"), "-v", "0"])

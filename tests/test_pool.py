@@ -91,8 +91,8 @@ def test_pool_auto_triggers_on_multirun(tmp_path, rng, monkeypatch):
     built = []
     orig = pl.Engine.build_pool
 
-    def spy(self, reads, sl):
-        r = orig(self, reads, sl)
+    def spy(self, reads, sl, ends=("start", "end")):
+        r = orig(self, reads, sl, ends=ends)
         built.append(r)
         return r
 
@@ -124,3 +124,35 @@ def test_pool_sn_zero(tmp_path, rng):
     host path's."""
     _run_both(tmp_path, rng, "zero", sl=10, k=4, sn=0, limit=5, seed=1,
               nb_of_runs=2)
+
+
+def test_pool_skip_end_builds_start_plane_only(tmp_path, rng, monkeypatch):
+    """-se (and the quirk, whose end pass re-samples the start) never
+    reads the end plane: auto mode must not ship it."""
+    import approx_counter_tpu.pipeline as pl
+
+    built_ends = []
+    orig = pl.Engine.build_pool
+
+    def spy(self, reads, sl, ends=("start", "end")):
+        built_ends.append(ends)
+        return orig(self, reads, sl, ends=ends)
+
+    monkeypatch.setattr(pl.Engine, "build_pool", spy)
+    seqs = [codes_to_seq(rng.integers(0, 4, 40)) for _ in range(12)]
+    fa = tmp_path / "a.fasta"
+    _fasta(fa, seqs)
+    base = dict(input_file=str(fa), sl=10, k=6, sn=100, limit=5, v=0,
+                seed=1, nb_of_runs=2)
+    prm = Params(output=str(tmp_path / "s.txt"), skip_end=True,
+                 device_pool="on", **base)
+    assert run_pipeline(prm) == 0
+    prm = Params(output=str(tmp_path / "q.txt"), skip_end=True,
+                 compat_quirks=True, device_pool="on", **base)
+    assert run_pipeline(prm) == 0
+    prm = Params(output=str(tmp_path / "b.txt"), device_pool="on", **base)
+    assert run_pipeline(prm) == 0
+    assert built_ends == [("start",), ("start",), ("start", "end")]
+    # and the quirk's .end (a start re-sample) still byte-equals .start
+    assert ((tmp_path / "q.txt_0.end").read_text()
+            == (tmp_path / "q.txt_0.start").read_text())
