@@ -248,13 +248,19 @@ def bench_cpu_baseline() -> float | None:
         threads = min(REF_THREADS, ncpu)
         # subsample W to keep the CPU run short; pairs/s is size-independent
         sub_w = 4096
-        r = subprocess.run(
-            [exe, str(C), str(sub_w), str(M), str(K), str(threads)],
-            check=True, capture_output=True, timeout=600, text=True,
-        )
-        per_s = float(r.stdout.strip())
-        log(f"cpu baseline ({threads} thr): {per_s / 1e6:.2f} Mpairs/s "
-            f"[{r.stderr.strip()}]")
+        # best-of-2: this host's memory bandwidth intermittently throttles
+        # ~100x (CLAUDE.md), and a throttled denominator silently inflates
+        # vs_baseline (r5 saw 1658x vs the healthy ~744x from this alone)
+        per_s, info = 0.0, ""
+        for _ in range(2):
+            r = subprocess.run(
+                [exe, str(C), str(sub_w), str(M), str(K), str(threads)],
+                check=True, capture_output=True, timeout=600, text=True,
+            )
+            if float(r.stdout.strip()) > per_s:
+                per_s, info = float(r.stdout.strip()), r.stderr.strip()
+        log(f"cpu baseline ({threads} thr, best of 2): "
+            f"{per_s / 1e6:.2f} Mpairs/s [{info}]")
         if threads < REF_THREADS:
             per_s *= REF_THREADS / threads  # optimistic linear scaling
             log(f"scaled to {REF_THREADS} thr: {per_s / 1e6:.2f} Mpairs/s")
