@@ -383,14 +383,24 @@ class Engine:
     def start_pass_pool(self, chosen: np.ndarray, n_valid: int,
                         end: bool, prefetch: bool = False):
         """Dispatch one fused pass that gathers its windows from the
-        device pool -- the per-pass H2D is ONE small int32 vector.
-        Same ``_PendingPass`` contract as ``start_pass``."""
+        device pool -- the per-pass H2D is ONE small index vector
+        (uint16 when the pool has < 2^16 rows, int32 otherwise; the
+        transfer is the pool pass's only per-pass H2D, so halving it
+        matters on the tunnel).  Same ``_PendingPass`` contract as
+        ``start_pass``."""
         pool = self._pool
         cap = max(512, _round_up(min(self.prm.limit, 1 << 20), CT))
         w_pad = max(_round_up(max(int(n_valid), 1), WT), WT)
-        idx_ext = np.zeros(w_pad + 1, np.int32)
-        idx_ext[:n_valid] = pool["inv"][chosen]
-        idx_ext[-1] = n_valid
+        if pool["E"] < (1 << 16):
+            # n_valid (which may exceed 2^16-1) rides two u16 tail slots
+            idx_ext = np.zeros(w_pad + 2, np.uint16)
+            idx_ext[:n_valid] = pool["inv"][chosen]
+            idx_ext[-2] = n_valid & 0xFFFF
+            idx_ext[-1] = n_valid >> 16
+        else:
+            idx_ext = np.zeros(w_pad + 1, np.int32)
+            idx_ext[:n_valid] = pool["inv"][chosen]
+            idx_ext[-1] = n_valid
         if prefetch:
             idx_ext = jax.device_put(idx_ext)
         pool_t = pool["pools"]["end" if end else "start"]
@@ -575,9 +585,17 @@ class Engine:
             def step(pool_t, idx_ext, lc_thr, fhi, flo, limit, solid_km):
                 # idx_ext = [Wpad chosen pool rows | n_valid]; rows past
                 # n_valid point at pool row 0 and are masked invalid by
-                # body_t's iota row mask, so they change no counts
-                idx = idx_ext[:-1]
-                n_valid = idx_ext[-1]
+                # body_t's iota row mask, so they change no counts.
+                # uint16 variant (pools with E < 2^16 rows -- the common
+                # case; halves the only per-pass H2D): n_valid rides TWO
+                # u16 tail slots (lo, hi).
+                if idx_ext.dtype == jnp.uint16:
+                    idx = idx_ext[:-2].astype(jnp.int32)
+                    n_valid = (idx_ext[-2].astype(jnp.int32)
+                               | (idx_ext[-1].astype(jnp.int32) << 16))
+                else:
+                    idx = idx_ext[:-1]
+                    n_valid = idx_ext[-1]
                 windows_t = jnp.take(pool_t, idx, axis=1)
                 return finish_out(body_t(windows_t, n_valid, lc_thr, fhi,
                                          flo, limit, solid_km))

@@ -156,3 +156,26 @@ def test_pool_skip_end_builds_start_plane_only(tmp_path, rng, monkeypatch):
     # and the quirk's .end (a start re-sample) still byte-equals .start
     assert ((tmp_path / "q.txt_0.end").read_text()
             == (tmp_path / "q.txt_0.start").read_text())
+
+
+def test_pool_large_E_int32_index_path(tmp_path, rng):
+    """Pools with E >= 2^16 rows use the int32 index variant (uint16
+    cannot address them); byte parity must hold there too."""
+    sl, k, n_reads = 4, 3, 70000
+    codes = rng.integers(0, 4, (n_reads, 2 * sl))
+    lines = []
+    lut = np.array(list("ACGT"))
+    for i in range(n_reads):
+        lines.append(f">r{i}\n{''.join(lut[codes[i]])}\n")
+    fa = tmp_path / "big.fasta"
+    fa.write_text("".join(lines))
+    outs = {}
+    for mode in ("on", "off"):
+        out = tmp_path / f"big_{mode}.txt"
+        prm = Params(input_file=str(fa), output=str(out), sl=sl, k=k,
+                     sn=300, limit=12, v=0, seed=9, nb_of_runs=2,
+                     device_pool=mode)
+        assert run_pipeline(prm) == 0
+        outs[mode] = {p.name.split(".txt_")[1]: p.read_bytes()
+                      for p in tmp_path.glob(f"big_{mode}.txt_*")}
+    assert outs["on"] == outs["off"] and len(outs["on"]) == 4
